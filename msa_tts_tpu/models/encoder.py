@@ -1,0 +1,83 @@
+"""Tacotron-2 encoder: conv stack + masked bidirectional LSTM.
+
+Reference behavior (msa_tts/models/modules_tacotron2nv/encoder.py):
+N × (ConvNorm → BatchNorm1d → ReLU → dropout 0.5) on (B, C, T), then a
+single-layer BiLSTM over length-packed sequences.  Here the BiLSTM is a
+pair of masked ``lax.scan`` passes with the input projection hoisted into
+one MXU matmul (see ops/rnn.py); packed-sequence semantics (zeros at
+padding, reverse pass starting at the last valid frame) are reproduced by
+carry masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn as N
+from ..ops import rnn as R
+
+
+def init_encoder(rng, n_convolutions: int, embedding_dim: int,
+                 kernel_size: int):
+    ks = jax.random.split(rng, n_convolutions + 1)
+    convs = []
+    for i in range(n_convolutions):
+        k_c, _ = jax.random.split(ks[i])
+        conv = N.init_conv1d(
+            k_c, embedding_dim, embedding_dim, kernel_size,
+            bias=True, w_init_gain="relu",
+        )
+        bn_params, bn_state = N.init_batchnorm(embedding_dim)
+        convs.append({"conv": conv, "bn": bn_params})
+    params = {
+        "convolutions": convs,
+        "lstm": R.init_bilstm(ks[-1], embedding_dim, embedding_dim // 2),
+    }
+    state = {
+        "convolutions": [
+            N.init_batchnorm(embedding_dim)[1] for _ in range(n_convolutions)
+        ]
+    }
+    return params, state
+
+
+def encoder_apply(
+    params,
+    state,
+    x,
+    input_lengths,
+    *,
+    rng=None,
+    train: bool = True,
+    dropout_rate: float = 0.5,
+    kernel_size: int = 5,
+):
+    """Apply the encoder.
+
+    Args:
+      x: (B, C, T) embedded character sequence (channels-first).
+      input_lengths: (B,) valid lengths.
+
+    Returns ``(outputs (B, T, C), new_state)``.
+    """
+    new_bn_states = []
+    n_convs = len(params["convolutions"])
+    rngs = (
+        jax.random.split(rng, n_convs) if rng is not None else [None] * n_convs
+    )
+    for i, layer in enumerate(params["convolutions"]):
+        pad = (kernel_size - 1) // 2
+        x = N.conv1d(layer["conv"], x, padding=pad)
+        x, bn_state = N.batchnorm1d(
+            layer["bn"], state["convolutions"][i], x, train=train
+        )
+        new_bn_states.append(bn_state)
+        x = jax.nn.relu(x)
+        x = N.dropout(
+            rngs[i], x, dropout_rate, deterministic=(not train or rng is None)
+        )
+
+    x = jnp.swapaxes(x, 1, 2)  # (B, T, C)
+    outputs = R.bilstm(params["lstm"], x, input_lengths)
+    return outputs, {"convolutions": new_bn_states}

@@ -1,0 +1,202 @@
+"""Grapheme→phoneme conversion.
+
+Mirrors the conversion modes of the reference G2P wrapper
+(reference: msa_tts/utils/g2p/grapheme2phoneme.py:80-89):
+
+  * ``phone_to_idx``            — metafile is already phonemized; map IPA
+                                  string to vocabulary indices (training path,
+                                  no external binary needed).
+  * ``text_to_phone_to_idx``    — live phonemization (inference path).
+  * ``text_to_phone_to_idx_aligned`` — live phonemization with per-word
+                                  alignment spans.
+
+Live phonemization shells out to ``espeak-ng``/``espeak`` when the binary
+is installed (the reference vendors a phonemizer fork around the same
+subprocess, msa_tts/utils/g2p/phonemizer_api/backend/espeak.py:349).  When
+no binary is present we fall back to a deterministic rule-based English
+letter-to-IPA mapping so that synthesis demos and tests run hermetically.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+
+from .char_list import CHAR_TO_ID, PAD, PUNCTUATIONS, char_list
+
+# Matches espeak "language switch" flags such as "(en)" that appear when the
+# engine switches voice mid-utterance; the reference removes them
+# (language_switch="remove-flags").
+_LANG_FLAG_RE = re.compile(r"\([a-zA-Z][a-zA-Z-]*\)")
+_STRESS_CHARS = "ˈˌːˑ"
+
+
+def find_espeak() -> str | None:
+    for name in ("espeak-ng", "espeak"):
+        path = shutil.which(name)
+        if path:
+            return path
+    return None
+
+
+class EspeakBackend:
+    """Thin subprocess wrapper around the espeak binary."""
+
+    def __init__(self, binary: str | None = None):
+        self.binary = binary or find_espeak()
+        if self.binary is None:
+            raise RuntimeError("no espeak/espeak-ng binary found on PATH")
+
+    def phonemize_chunk(self, text: str, language: str = "en-us") -> str:
+        out = subprocess.run(
+            [self.binary, "-q", "--ipa", "-v", language, "--", text],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        out = out.replace("\n", " ").strip()
+        # Remove language-switch flags and tie bars espeak may emit.
+        out = _LANG_FLAG_RE.sub("", out)
+        out = out.replace("͡", "").replace("‍", "")
+        return out
+
+
+# Deterministic fallback letter→IPA rules (approximate en-US mapping).  Not
+# linguistically accurate — it exists so that the text→speech path stays
+# runnable end to end in environments without espeak.
+_FALLBACK_DIGRAPHS = [
+    ("tch", "tʃ"), ("sh", "ʃ"), ("ch", "tʃ"), ("th", "θ"), ("ph", "f"),
+    ("wh", "w"), ("ng", "ŋ"), ("qu", "kw"), ("ck", "k"), ("oo", "uː"),
+    ("ee", "iː"), ("ea", "iː"), ("ou", "aʊ"), ("ow", "aʊ"), ("ai", "eɪ"),
+    ("ay", "eɪ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"), ("ar", "ɑː"), ("er", "ɚ"),
+    ("or", "ɔː"),
+]
+_FALLBACK_SINGLE = {
+    "a": "æ", "b": "b", "c": "k", "d": "d", "e": "ɛ", "f": "f", "g": "ɡ",
+    "h": "h", "i": "ɪ", "j": "dʒ", "k": "k", "l": "l", "m": "m", "n": "n",
+    "o": "ɒ", "p": "p", "q": "k", "r": "ɹ", "s": "s", "t": "t", "u": "ʌ",
+    "v": "v", "w": "w", "x": "ks", "y": "j", "z": "z",
+}
+
+
+class FallbackBackend:
+    """Rule-based English letter→IPA mapping used when espeak is absent."""
+
+    def phonemize_chunk(self, text: str, language: str = "en-us") -> str:
+        words = []
+        for word in text.lower().split():
+            out = []
+            i = 0
+            while i < len(word):
+                for pat, rep in _FALLBACK_DIGRAPHS:
+                    if word.startswith(pat, i):
+                        out.append(rep)
+                        i += len(pat)
+                        break
+                else:
+                    ch = word[i]
+                    if ch in _FALLBACK_SINGLE:
+                        out.append(_FALLBACK_SINGLE[ch])
+                    elif ch in PUNCTUATIONS or ch == " ":
+                        out.append(ch)
+                    i += 1
+            if out:
+                # Rudimentary primary stress on the word.
+                words.append("ˈ" + "".join(out))
+        return " ".join(words)
+
+
+def _split_keep_punctuation(text: str):
+    """Split ``text`` into (chunk, trailing punctuation) pairs."""
+    pattern = re.compile(f"([{re.escape(PUNCTUATIONS)}])")
+    parts = pattern.split(text)
+    pairs = []
+    i = 0
+    while i < len(parts):
+        chunk = parts[i]
+        punct = parts[i + 1] if i + 1 < len(parts) else ""
+        pairs.append((chunk.strip(), punct))
+        i += 2
+    return [(c, p) for c, p in pairs if c or p]
+
+
+class Grapheme2Phoneme:
+    """Text/phoneme to index-sequence converter over the IPA vocabulary."""
+
+    def __init__(self, backend: str = "auto"):
+        self.char_list = char_list
+        self.char_to_id = CHAR_TO_ID
+        self.id_to_char = {i: c for c, i in CHAR_TO_ID.items()}
+        if backend == "espeak":
+            self.backend = EspeakBackend()
+        elif backend == "fallback":
+            self.backend = FallbackBackend()
+        else:  # auto
+            self.backend = (
+                EspeakBackend() if find_espeak() else FallbackBackend()
+            )
+
+    # ------------------------------------------------------------------ text
+    def text_to_phone(self, text: str, language: str = "en-us",
+                      with_stress: bool = True) -> str:
+        """Phonemize free text, preserving punctuation marks."""
+        pieces = []
+        for chunk, punct in _split_keep_punctuation(text):
+            ph = self.backend.phonemize_chunk(chunk, language) if chunk else ""
+            pieces.append(ph + punct)
+        phones = " ".join(p for p in pieces if p)
+        if not with_stress:
+            phones = "".join(c for c in phones if c not in _STRESS_CHARS)
+        return phones
+
+    # --------------------------------------------------------------- indices
+    def _keep(self, ch: str) -> bool:
+        return ch in self.char_to_id and ch != PAD
+
+    def phone_to_index_list(self, phones: str, **kwargs):
+        seq = [self.char_to_id[c] for c in phones if self._keep(c)]
+        return seq, phones
+
+    def text_to_phone_to_index_list(self, text: str, **kwargs):
+        phones = self.text_to_phone(text, language=kwargs.get("language", "en-us"))
+        seq = [self.char_to_id[c] for c in phones if self._keep(c)]
+        if not seq:
+            print(f"!! After phoneme conversion the result is empty. -- {text}")
+        return seq, phones
+
+    def text_to_phone_to_index_list_alignment(self, text: str, **kwargs):
+        """Phonemize with per-word (start, end) spans into the phone string."""
+        language = kwargs.get("language", "en-us")
+        sep = " ::: "
+        joined = sep.join(text.split())
+        out = self.text_to_phone(joined, language=language)
+        per_word = out.split(sep.strip())
+        per_word = [p.strip() for p in per_word]
+
+        word_to_idx = []
+        words = text.split()
+        start = 0
+        for itr, phone in enumerate(per_word):
+            end = start + len(phone) - 1
+            if itr < len(words):
+                word_to_idx.append((words[itr], (start, end)))
+            start = end + 1
+        final = "".join(per_word)
+        seq = [self.char_to_id[c] for c in final if self._keep(c)]
+        if not seq:
+            print(f"!! After phoneme conversion the result is empty. -- {text}")
+        return seq, word_to_idx
+
+    def convert(self, inp: str, **kwargs):
+        mode = kwargs["convert_mode"]
+        if mode == "phone_to_idx":
+            return self.phone_to_index_list(inp, **kwargs)
+        if mode == "text_to_phone_to_idx":
+            return self.text_to_phone_to_index_list(inp, **kwargs)
+        if mode == "text_to_phone_to_idx_aligned":
+            return self.text_to_phone_to_index_list_alignment(inp, **kwargs)
+        raise ValueError(f"unknown convert_mode: {mode}")
+
+    def get_char_list(self):
+        return self.char_list
