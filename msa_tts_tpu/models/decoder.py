@@ -120,6 +120,7 @@ class DecoderConfig(NamedTuple):
     p_decoder_dropout: float
     early_stopping: bool
     attention_params: dict
+    p_prenet_dropout: float = 0.5
 
 
 def init_decoder(rng, cfg: DecoderConfig):
@@ -330,7 +331,9 @@ def decoder_forward(
 
     k_pre, k_scan = jax.random.split(rng)
     # Prenet over all frames at once — one batched MXU matmul.
-    dec_in = prenet_apply(params["prenet"], dec_in, k_pre)
+    dec_in = prenet_apply(
+        params["prenet"], dec_in, k_pre, dropout_rate=cfg.p_prenet_dropout
+    )
 
     mask = sequence_mask(input_lengths, encoder_outputs.shape[1])
     prep_fn, attn_step_fn = _attn_fns(cfg)
@@ -417,7 +420,10 @@ def decoder_infer(
         step = s["step"]
         k_step = jax.random.fold_in(rng, step)
         k_pre, k_dec = jax.random.split(k_step)
-        prenet_out = prenet_apply(params["prenet"], s["decoder_input"], k_pre)
+        prenet_out = prenet_apply(
+            params["prenet"], s["decoder_input"], k_pre,
+            dropout_rate=cfg.p_prenet_dropout,
+        )
         new_carry, (mel_out, gate, alignment) = _decode_step(
             params, cfg, attn_step_fn, s["carry"], prenet_out,
             encoder_outputs, processed_inputs, mask, k_dec,

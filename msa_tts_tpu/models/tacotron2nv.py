@@ -65,6 +65,7 @@ class ModelConfig(NamedTuple):
     freeze_charemb: bool = False
     freeze_encoder: bool = False
     freeze_decoder: bool = False
+    p_prenet_dropout: float = 0.5
 
     @property
     def conditioned_embedding_dim(self) -> int:
@@ -91,6 +92,7 @@ class ModelConfig(NamedTuple):
             p_decoder_dropout=self.p_decoder_dropout,
             early_stopping=self.early_stopping,
             attention_params=self.attention_params,
+            p_prenet_dropout=self.p_prenet_dropout,
         )
 
 
@@ -126,6 +128,7 @@ def config_from_params(model_params: dict) -> ModelConfig:
         freeze_charemb=p.get("freeze_charemb", False),
         freeze_encoder=p.get("freeze_encoder", False),
         freeze_decoder=p.get("freeze_decoder", False),
+        p_prenet_dropout=p.get("p_prenet_dropout", 0.5),
     )
 
 
