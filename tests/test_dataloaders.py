@@ -1,0 +1,148 @@
+"""Data-layer tests on a synthetic corpus (no real dataset needed)."""
+
+import numpy as np
+import pytest
+
+from msa_tts_tpu.dataloaders import (
+    Batch,
+    get_dataloader,
+    get_dataloader_meta,
+    parse_metafile,
+    split_speakers,
+)
+from msa_tts_tpu.dataloaders.synthetic import (
+    make_synthetic_corpus,
+    synthetic_params,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    make_synthetic_corpus(
+        root, n_speakers=3, utterances_per_speaker=6, seed=0
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def params(corpus):
+    return synthetic_params(corpus, n_speakers=3, batch_size=2)
+
+
+def test_metafile_roundtrip(corpus):
+    utts = parse_metafile(corpus + "/metadata.csv")
+    assert len(utts) == 18
+    assert {u.speaker for u in utts} == {"spk00", "spk01", "spk02"}
+    assert all(u.duration > 0 for u in utts)
+
+
+def test_split_semantics(corpus):
+    utts = parse_metafile(corpus + "/metadata.csv")
+    splits, logs = split_speakers(
+        utts, ["spk00", "spk01"], perc_train=0.8, seed=0
+    )
+    assert set(splits.keys()) == {"spk00", "spk01"}
+    for sp in splits.values():
+        assert len(sp.test) >= 2
+        assert len(sp.train) + len(sp.test) == 6
+    # deterministic given the seed
+    splits2, _ = split_speakers(
+        utts, ["spk00", "spk01"], perc_train=0.8, seed=0
+    )
+    assert [u.filename for u in splits2["spk00"].train] == [
+        u.filename for u in splits["spk00"].train
+    ]
+    # different seed → different order
+    splits3, _ = split_speakers(
+        utts, ["spk00", "spk01"], perc_train=0.8, seed=9
+    )
+    assert [u.filename for u in splits3["spk00"].train] != [
+        u.filename for u in splits["spk00"].train
+    ]
+
+
+def test_duration_budget(corpus):
+    utts = parse_metafile(corpus + "/metadata.csv")
+    budget_min = 2.5 / 60.0  # 2.5 seconds
+    splits, _ = split_speakers(
+        utts, ["spk00"], total_duration_per_spk=budget_min, seed=0
+    )
+    n = len(splits["spk00"].train) + len(splits["spk00"].test)
+    assert n < 6  # budget truncated the list
+
+
+def test_default_loader_batches(params):
+    train_loader, test_loader, logs = get_dataloader(**params)
+    assert "Speaker spk00" in logs
+    batches = list(train_loader)
+    assert len(batches) == len(train_loader)
+    b = batches[0]
+    assert isinstance(b, Batch)
+    B, T_text = b.inputs.shape
+    assert b.mels.shape[0] == B and b.mels.shape[1] == 80
+    # mel padded to multiple of 32 (mel_pad_multiple default)
+    assert b.mels.shape[2] % 32 == 0
+    assert b.stop_labels.shape == (B, b.mels.shape[2])
+    # text sorted descending
+    assert (np.diff(b.input_lengths) <= 0).all()
+    # stop labels: 0 until mel_len-1, 1 from there on
+    for i in range(B):
+        L = b.mel_lengths[i]
+        assert b.stop_labels[i, L - 1] == 1.0
+        assert (b.stop_labels[i, : L - 1] == 0.0).all()
+        assert (b.stop_labels[i, L:] == 1.0).all()
+    # phoneme ids within vocab
+    from msa_tts_tpu.utils.g2p import N_SYMBOLS
+
+    assert b.inputs.max() < N_SYMBOLS
+
+
+def test_loader_epoch_reshuffles(params):
+    train_loader, _, _ = get_dataloader(**params)
+    ids1 = [b.item_ids for b in train_loader]
+    ids2 = [b.item_ids for b in train_loader]
+    assert sorted(sum(ids1, ())) == sorted(sum(ids2, ()))  # same items
+    assert ids1 != ids2  # different order
+
+
+def test_meta_loader_episodes(params):
+    loader, logs = get_dataloader_meta("metatrain", **params)
+    meta_batches = list(loader)
+    assert len(meta_batches) == len(loader)
+    mb = meta_batches[0]
+    assert len(mb) == params["meta_batch_size"]
+    for spk, ep in mb.items():
+        assert set(ep.keys()) == {"train", "test"}
+        # all episodes share the static padded shapes
+        assert ep["train"].inputs.shape == ep["test"].inputs.shape
+        assert ep["train"].mels.shape == ep["test"].mels.shape
+        # support items all belong to the task speaker
+        assert all(i.startswith(spk) for i in ep["train"].item_ids)
+
+
+def test_meta_loader_stacked(params):
+    loader, _ = get_dataloader_meta("metatrain", **params)
+    speakers, support, query = next(loader.iter_stacked())
+    K = len(speakers)
+    S = params["dataset_metatrain"]["batch_size"]
+    assert support.inputs.shape[:2] == (K, S)
+    assert query.mels.shape[:2] == (K, S)
+    assert support.mels.shape == query.mels.shape
+    # static shapes: every episode from every epoch has identical shape
+    _, support2, _ = next(loader.iter_stacked())
+    assert support2.inputs.shape == support.inputs.shape
+
+
+def test_binned_sampler_locality():
+    from msa_tts_tpu.dataloaders.sampler import BinnedLengthSampler
+
+    lengths = np.arange(100)[::-1].copy()
+    s = BinnedLengthSampler(lengths, batch_size=5, bin_size=10, seed=0)
+    order = list(iter(s))
+    assert sorted(order) == list(range(100))
+    # items within a bin are length-neighbors
+    for start in range(0, 100, 10):
+        chunk = order[start : start + 10]
+        chunk_lengths = lengths[chunk]
+        assert chunk_lengths.max() - chunk_lengths.min() < 10
