@@ -1,0 +1,288 @@
+"""Trainer base: experiment setup, jitted train/eval steps, checkpoints.
+
+Plays the role of the reference's ``JointTrainer`` scaffolding
+(msa_tts/baseline.py:22-175) with the TPU-native execution model: the
+whole optimization step — forward, loss, backward, clip, optimizer
+update, and the MCD metric — is one jitted XLA program; the host only
+feeds cached numpy batches and logs scalars.
+
+Behavioral parity notes:
+  * Test/eval passes run the model in train mode like the reference
+    (``model.train()`` + ``no_grad`` — baseline.py:254-260), i.e.
+    batch-norm uses batch statistics and dropout stays active.
+  * Gradient clipping is applied to fresh gradients (the reference
+    clips before ``backward()``, a latent bug — see train_state.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import save_params
+from ..dataloaders.collate import Batch
+from ..models import (
+    config_from_params,
+    init_tacotron2nv,
+    tacotron2nv_forward,
+)
+from ..models.loss import tacotron2_loss
+from ..ops.metrics import mcd_batch
+from ..utils.checkpoint import (
+    load_checkpoint,
+    load_partial_params,
+    restore_like,
+    save_checkpoint,
+)
+from ..utils.g2p.char_list import N_SYMBOLS
+from ..utils.logging_utils import MetricsLogger
+from ..utils.paths import PathManager
+from .train_state import TrainState, clip_by_global_norm, make_optimizer
+
+
+class TrainerBase:
+    def __init__(self, **params):
+        self.params = params
+        output_path = os.path.join(
+            params["output_path"], params["method"], params["experiment_name"]
+        )
+        self.path_manager = PathManager(output_path)
+        save_params(params, os.path.join(output_path, "params.yml"))
+        self.logger = MetricsLogger(
+            self.path_manager.logs_path,
+            use_tensorboard=params.get("use_tensorboard", True),
+        )
+        self.step_global = 0
+
+        self._init_dataloaders()
+        self._init_model()
+        self._init_criterion_optimizer()
+
+        if params.get("finetune", False):
+            self._load_finetune_checkpoint()
+
+    # ------------------------------------------------------------ setup
+    def _init_dataloaders(self):  # overridden by subclasses
+        raise NotImplementedError
+
+    def _num_speakers(self) -> int:
+        raise NotImplementedError
+
+    def _init_model(self):
+        params = self.params
+        mp = dict(params["model"])
+        mp["num_speakers"] = self._num_speakers()
+        mp["n_symbols"] = N_SYMBOLS
+        mp["n_mel_channels"] = params["audio_params"]["n_mels"]
+        for k in ("freeze_charemb", "freeze_encoder", "freeze_decoder"):
+            mp[k] = params.get(k, False)
+        params["model"] = mp
+
+        self.model_name = params.get("model_name", "Tacotron2NV")
+        if self.model_name != "Tacotron2NV":
+            raise NotImplementedError(self.model_name)
+        self.speaker_emb_type = mp["speaker_emb_type"]
+        self.cfg = config_from_params(mp)
+        seed = params.get("model_seed", 0)
+        self.init_rng = jax.random.PRNGKey(seed)
+        self.model_params, self.model_state = init_tacotron2nv(
+            self.init_rng, self.cfg
+        )
+
+    def _init_criterion_optimizer(self):
+        params = self.params
+        crit = params["criterion"]
+        if crit.get("criterion_type", "Tacotron2Loss") != "Tacotron2Loss":
+            raise RuntimeError(f"Criterion {crit} not defined.")
+        self.loss_kwargs = dict(
+            n_frames_per_step=self.cfg.n_frames_per_step,
+            reduction=crit.get("reduction", "none"),
+            pos_weight=float(crit.get("pos_weight", 1.0)),
+        )
+        self.tx = make_optimizer(params["optim"])
+        self.inner_optim_cfg = params.get(
+            "optim_inner", {"optimizer_type": "SGD", "lr": 1e-2}
+        )
+        self.train_state = TrainState(
+            params=self.model_params,
+            model_state=self.model_state,
+            opt_state=self.tx.init(self.model_params),
+            step=0,
+        )
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0,))
+        self._eval_step_jit = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------- step funcs
+    def _loss_for_batch(self, params, model_state, batch: dict, rng,
+                        train: bool = True):
+        outs, new_state = tacotron2nv_forward(
+            params,
+            model_state,
+            self.cfg,
+            batch["inputs"],
+            batch["input_lengths"],
+            batch["melspecs"],
+            batch["melspec_lengths"],
+            batch["speaker_vecs"],
+            rng,
+            train=train,
+        )
+        mel_out, mel_post, gate, align = outs
+        loss = tacotron2_loss(
+            (mel_out, mel_post, gate, align),
+            (batch["melspecs"], batch["stop_labels"]),
+            batch["melspec_lengths"],
+            **self.loss_kwargs,
+        )
+        return loss, (outs, new_state)
+
+    def _train_step(self, state: TrainState, batch: dict, rng):
+        def loss_fn(p):
+            return self._loss_for_batch(
+                p, state.model_state, batch, rng, train=True
+            )
+
+        (loss, (outs, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if self.params.get("clip_grad_norm", False):
+            grads, grad_norm = clip_by_global_norm(
+                grads, float(self.params.get("grad_clip_thresh", 1.0))
+            )
+        else:
+            grad_norm = jnp.asarray(0.0)
+
+        updates, new_opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        mel_post = outs[1]
+        mcd = mcd_batch(
+            jnp.swapaxes(mel_post, 1, 2),
+            jnp.swapaxes(batch["melspecs"], 1, 2),
+            batch["melspec_lengths"],
+        )
+        metrics = {
+            "loss": loss,
+            "mcd": mcd,
+            "grad_norm": grad_norm,
+        }
+        new_state = TrainState(
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics, outs
+
+    def _eval_step(self, state: TrainState, batch: dict, rng):
+        loss, (outs, new_model_state) = self._loss_for_batch(
+            state.params, state.model_state, batch, rng, train=True
+        )
+        mel_post = outs[1]
+        mcd = mcd_batch(
+            jnp.swapaxes(mel_post, 1, 2),
+            jnp.swapaxes(batch["melspecs"], 1, 2),
+            batch["melspec_lengths"],
+        )
+        # The reference's eval runs in train mode, so batch-norm running
+        # stats advance during testing as well; keep that behavior.
+        new_state = state._replace(model_state=new_model_state)
+        return new_state, {"loss": loss, "mcd": mcd}, outs
+
+    # ----------------------------------------------------------- batches
+    def _unpack_batch(self, batch: Batch) -> dict:
+        """Build the jit-ready input dict from a host batch
+        (reference _unpack_batch — msa_tts/baseline.py:107-129)."""
+        return {
+            "inputs": batch.inputs,
+            "input_lengths": batch.input_lengths,
+            "melspecs": batch.mels,
+            "melspec_lengths": batch.mel_lengths,
+            "speaker_vecs": batch.speaker_vecs(self.speaker_emb_type),
+            "stop_labels": batch.stop_labels,
+        }
+
+    # ------------------------------------------------------ checkpoints
+    def _ckpt_payload(self) -> dict:
+        return {
+            "params": self.train_state.params,
+            "model_state": self.train_state.model_state,
+            "opt_state": self.train_state.opt_state,
+            "step": self.step_global,
+        }
+
+    def _save_checkpoint(self, name: str | None = None):
+        if name is None:
+            name = f"checkpoint_{self.step_global // 100}.ckpt"
+        path = os.path.join(self.path_manager.checkpoints_path, name)
+        save_checkpoint(path, self._ckpt_payload())
+        return path
+
+    def _load_finetune_checkpoint(self):
+        path = self.params["finetune_checkpoint_path"]
+        print(f"Loading checkpoint from  {path}")
+        if path.endswith(".pt"):
+            from ..utils.torch_import import load_torch_checkpoint
+
+            ckpt_params, ckpt_state = load_torch_checkpoint(path, self.cfg)
+            new_params = load_partial_params(
+                self.train_state.params, ckpt_params
+            )
+            self.train_state = self.train_state._replace(
+                params=new_params, model_state=ckpt_state
+            )
+        else:
+            raw = load_checkpoint(path)
+            new_params = load_partial_params(
+                self.train_state.params,
+                restore_like(self.train_state.params, raw["params"]),
+            )
+            self.train_state = self.train_state._replace(params=new_params)
+
+    def restore(self, path: str):
+        """Full-fidelity resume (params + optimizer + step)."""
+        raw = load_checkpoint(path)
+        self.train_state = TrainState(
+            params=restore_like(self.train_state.params, raw["params"]),
+            model_state=restore_like(
+                self.train_state.model_state, raw["model_state"]
+            ),
+            opt_state=restore_like(
+                self.train_state.opt_state, raw["opt_state"]
+            ),
+            step=int(raw["step"]),
+        )
+        self.step_global = int(raw["step"])
+
+    # ---------------------------------------------------------- logging
+    def log_writer(self, logs: dict, type: str = "scalar"):
+        if type == "scalar":
+            self.logger.log_scalars(logs)
+        elif type == "hist":
+            self.logger.log_histograms(logs)
+        else:
+            raise NotImplementedError(type)
+
+    def get_module_grads_flattened(self, grads, step):
+        """Per-module flattened gradient vectors for histogram logging
+        (reference baseline.py:160-175)."""
+        out = {}
+        for mod, sub in grads.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            if leaves:
+                out["grad_" + mod] = (
+                    np.concatenate(
+                        [np.asarray(l).ravel() for l in leaves]
+                    ),
+                    step,
+                )
+        return out

@@ -1,0 +1,93 @@
+"""MAML meta-trainer (second-order or first-order).
+
+Reference: msa_tts/maml.py.  ``track_higher_grads: true`` → second-order
+MAML (gradients w.r.t. θ₀ through the inner loop); ``false`` → FOMAML
+(gradients w.r.t. the adapted params).  The task loop runs vmapped in a
+single jitted step — see meta/maml.py.  Entry point:
+``python -m msa_tts_tpu.trainers.maml --params_path <dir>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..meta.maml import make_maml_step
+from .baseline import unpack_task_batch
+from .metatrainer import MetaTrainer
+
+
+class MAML(MetaTrainer):
+    def _init_criterion_optimizer(self):
+        super()._init_criterion_optimizer()
+        clip = (
+            float(self.params.get("grad_clip_thresh", 1.0))
+            if self.params.get("clip_grad_norm", False)
+            else None
+        )
+        step_fn = make_maml_step(
+            self._meta_loss_fn(),
+            self.inner_tx,
+            self.outer_tx,
+            int(self.params.get("n_inner_train", 1)),
+            second_order=bool(self.params.get("track_higher_grads", True)),
+            clip_thresh=clip,
+            remat=bool(self.params.get("maml_remat", True)),
+        )
+        self._maml_step_jit = jax.jit(step_fn, donate_argnums=(0,))
+
+    def run(self):
+        self.step_global = 0
+        rng = jax.random.PRNGKey(self.params.get("train_seed", 1234))
+        for epoch in range(1, self.params["n_epochs"] + 1):
+            rng, k_train, k_meta = jax.random.split(rng, 3)
+            self._metatrain(epoch, k_train)
+            if epoch % self.params.get("ckpt_save_epoch_interval", 1) == 0:
+                self._save_checkpoint()
+            if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
+                print("Meta-test phase ...")
+                self._metatest(epoch, k_meta)
+
+    def _metatrain(self, epoch: int, rng):
+        for itr_b, (speakers, support, query) in enumerate(
+            self.dataloader_metatrain.iter_stacked()
+        ):
+            sup = unpack_task_batch(support, self.speaker_emb_type)
+            qry = unpack_task_batch(query, self.speaker_emb_type)
+            self.train_state, metrics = self._maml_step_jit(
+                self.train_state, sup, qry, jax.random.fold_in(rng, itr_b)
+            )
+            loss = float(metrics.loss)
+            logs = {
+                "train/loss": (loss, self.step_global),
+                "train/grad_norm": (
+                    float(metrics.grad_norm),
+                    self.step_global,
+                ),
+            }
+            for i, spk in enumerate(speakers):
+                logs[f"train/loss_{spk}"] = (
+                    float(metrics.task_losses[i]),
+                    self.step_global,
+                )
+                print(
+                    f"| Epoch: {epoch}, itr: {self.step_global}, spk:{spk}"
+                    f" ::  step loss: {float(metrics.task_losses[i]):#.4}"
+                )
+            self.log_writer(logs)
+            self.step_global += 1
+
+
+def main(args):
+    from ..config import load_params
+
+    params = load_params(os.path.join(args.params_path, "params.yml"))
+    MAML(**params).run()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--params_path", type=str, required=True)
+    main(parser.parse_args())

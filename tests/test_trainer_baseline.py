@@ -1,0 +1,109 @@
+"""End-to-end smoke test: joint training on a synthetic corpus must run,
+log, checkpoint, and decrease the loss."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from msa_tts_tpu.dataloaders.synthetic import (
+    make_synthetic_corpus,
+    synthetic_params,
+)
+from msa_tts_tpu.trainers.baseline import JointTrainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=5, seed=0,
+        min_dur=0.3, max_dur=0.5,
+    )
+    params = synthetic_params(
+        root,
+        n_speakers=2,
+        batch_size=3,
+        n_epochs=2,
+        do_metatest=True,
+        model_overrides={"max_decoder_steps": 20},
+    )
+    params["use_tensorboard"] = False
+    params["tb_log_interval"] = 1
+    params["plot_examples"] = True
+    trainer = JointTrainer(**params)
+    trainer.run()
+    return trainer, params
+
+
+def test_training_runs_and_logs(trained):
+    trainer, params = trained
+    assert trainer.step_global > 0
+    jsonl = trainer.logger.jsonl_path
+    lines = [json.loads(l) for l in open(jsonl)]
+    tags = {l["tag"] for l in lines}
+    assert "train/loss" in tags
+    assert "test/loss" in tags
+    # meta-test logged per held-out speaker
+    assert any(t.startswith("test/loss_spk") for t in tags)
+
+
+def test_loss_decreases(trained):
+    trainer, _ = trained
+    lines = [
+        json.loads(l)
+        for l in open(trainer.logger.jsonl_path)
+        if '"train/loss"' in l
+    ]
+    losses = [l["value"] for l in sorted(lines, key=lambda x: x["step"])]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_checkpoints_written(trained):
+    trainer, _ = trained
+    ckpts = glob.glob(
+        os.path.join(trainer.path_manager.checkpoints_path, "*.ckpt")
+    )
+    names = {os.path.basename(c) for c in ckpts}
+    assert "checkpoint_best.ckpt" in names
+    assert len(names) >= 2  # best + periodic
+
+
+def test_checkpoint_restores(trained):
+    trainer, params = trained
+    import jax
+
+    ckpt = os.path.join(
+        trainer.path_manager.checkpoints_path, "checkpoint_best.ckpt"
+    )
+    step_before = trainer.step_global
+    params_before = jax.tree_util.tree_leaves(trainer.train_state.params)[0]
+    trainer.restore(ckpt)
+    # restored step differs from where training left off (best ≠ last)
+    assert trainer.train_state.step <= step_before
+    leaf = jax.tree_util.tree_leaves(trainer.train_state.params)[0]
+    assert leaf.shape == params_before.shape
+
+
+def test_example_plots_written(trained):
+    trainer, _ = trained
+    pngs = glob.glob(
+        os.path.join(trainer.path_manager.examples_path, "*.png")
+    )
+    assert pngs
+
+
+def test_params_snapshot_written(trained):
+    trainer, _ = trained
+    assert os.path.exists(
+        os.path.join(trainer.path_manager.output_path, "params.yml")
+    )
+    assert os.path.exists(
+        os.path.join(
+            trainer.path_manager.output_path, "dataset_details.txt"
+        )
+    )
