@@ -1,0 +1,171 @@
+"""Continual learning with ER + speaker-similarity regularization.
+
+Reference: msa_tts/continual_er_reg.py.  The cosine similarity between
+the new speaker's d-vector and the mean d-vector of previously seen
+speakers (get_spk_similarity :124-130) modulates one of three
+regularizers, chosen by ``regularizaton_method`` [sic — the reference
+config key's spelling is accepted, as is the corrected one]:
+
+  * ``buffer_replicate``        — duplicate sampled buffer items
+                                  ×``buffer_replicate_factor`` (:48-61).
+  * ``adaptive_weightdecay``    — optimizer weight decay
+                                  = ``weightdecay_value``·(1−sim) (:211-216).
+  * ``adaptive_weightclipping`` — gradient-clip threshold scaled by sim
+                                  (:356-361).
+
+Entry point: ``python -m msa_tts_tpu.trainers.continual_er_reg``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+
+import jax
+import numpy as np
+
+from ..dataloaders.metafile import load_speaker_embeddings
+from .continual_base import ContinualTrainerBase
+
+
+def get_similarity(vec1, vec_list, sim_type: str = "cosine") -> float:
+    """Average similarity between ``vec1`` and each vector in
+    ``vec_list`` (reference :105-121)."""
+    total = 0.0
+    for vec2 in vec_list:
+        if sim_type == "dot_prod":
+            sim = float(np.dot(vec1, vec2))
+        elif sim_type == "cosine":
+            sim = float(
+                np.dot(vec1, vec2)
+                / (np.linalg.norm(vec1) * np.linalg.norm(vec2))
+            )
+        elif sim_type == "l2_dist":
+            sim = float(np.sum(np.sqrt((vec1 - vec2) ** 2)))
+        else:
+            raise ValueError(sim_type)
+        total += sim
+    return total / float(len(vec_list))
+
+
+def get_spk_similarity(spk_emb: dict, spk_so_far: list[str],
+                       spk: str) -> float:
+    """Cosine similarity of the new speaker's mean d-vector vs the mean
+    of previous speakers' (reference :124-130)."""
+    vec1 = np.asarray(spk_emb[spk])
+    prev = np.mean(
+        np.stack([np.asarray(spk_emb[s]) for s in spk_so_far]), axis=0
+    )
+    return get_similarity(vec1, [prev], "cosine")
+
+
+class ExperienceReplayRegTrainer(ContinualTrainerBase):
+    def __init__(self, **params):
+        self._reg_method = params.get(
+            "regularization_method", params.get("regularizaton_method")
+        )
+        if self._reg_method is None:
+            raise ValueError("regularization_method not set")
+        super().__init__(**params)
+        self.spk_emb_dict = load_speaker_embeddings(
+            params["dataset_train"]["dataset_path"]
+        )
+        self._spk_similarity = 1.0
+
+    # ------------------------------------------------------ buffer (ER)
+    def _replicate(self, items):
+        if self._reg_method == "buffer_replicate":
+            return items * int(self.params.get("buffer_replicate_factor", 1))
+        return items
+
+    def _initial_task_items(self, speakers):
+        items = self._task_items(speakers, "train")
+        self.buffer = self._replicate(
+            self._sample_items(items, self.params["buffer_sample_size"])
+        )
+        return items
+
+    def _task_train_items(self, speaker: str, spk_itr: int):
+        current = self._task_items([speaker], "train")
+        if not hasattr(self, "buffer"):
+            self.buffer = self._replicate(
+                self._sample_items(
+                    current, self.params["buffer_sample_size"]
+                )
+            )
+            return current
+        train_items = current + list(self.buffer)
+        self.buffer = list(self.buffer) + self._replicate(
+            self._sample_items(current, self.params["buffer_sample_size"])
+        )
+        return train_items
+
+    # ----------------------------------------------------- regularizers
+    def _reset_optimizer(self, speaker: str | None = None):
+        # similarity vs all previously seen speakers (excluding current)
+        prev = [s for s in self.speakers_so_far if s != speaker]
+        if speaker is not None and prev:
+            self._spk_similarity = get_spk_similarity(
+                self.spk_emb_dict, prev, speaker
+            )
+            print(
+                f"Speaker {speaker}: similarity to previous speakers ="
+                f" {self._spk_similarity:.4f}"
+            )
+        else:
+            self._spk_similarity = 1.0
+
+        from .train_state import make_optimizer
+
+        optim_params = copy.deepcopy(self.params["optim"])
+        if (
+            self._reg_method == "adaptive_weightdecay"
+            and self._spk_similarity != 1.0
+        ):
+            print("Changing weight decay")
+            optim_params["weight_decay"] = self.params[
+                "weightdecay_value"
+            ] * (1.0 - self._spk_similarity)
+        self.tx = make_optimizer(optim_params)
+        self.train_state = self.train_state._replace(
+            opt_state=self.tx.init(self.train_state.params)
+        )
+
+        if (
+            self._reg_method == "adaptive_weightclipping"
+            and self._spk_similarity != 1.0
+            and self.params.get("clip_grad_norm", False)
+        ):
+            # scale the clip threshold by similarity (:356-361)
+            self._clip_override = self._spk_similarity * float(
+                self.params.get("grad_clip_thresh", 1.0)
+            )
+        else:
+            self._clip_override = None
+        self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _train_step(self, state, batch, rng):
+        if self._clip_override is not None:
+            # temporarily narrow the clip threshold for this task
+            params = dict(self.params)
+            params["grad_clip_thresh"] = self._clip_override
+            saved, self.params = self.params, params
+            try:
+                return super()._train_step(state, batch, rng)
+            finally:
+                self.params = saved
+        return super()._train_step(state, batch, rng)
+
+
+def main(args):
+    from ..config import load_params
+
+    params = load_params(os.path.join(args.params_path, "params.yml"))
+    ExperienceReplayRegTrainer(**params).run()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--params_path", type=str, required=True)
+    main(parser.parse_args())

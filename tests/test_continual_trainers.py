@@ -1,0 +1,171 @@
+"""Continual-learning trainer tests on the synthetic corpus."""
+
+import glob
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from msa_tts_tpu.dataloaders.synthetic import (
+    make_synthetic_corpus,
+    synthetic_params,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cl_corpus"))
+    make_synthetic_corpus(
+        root, n_speakers=3, utterances_per_speaker=5, seed=0,
+        min_dur=0.25, max_dur=0.4,
+    )
+    return root
+
+
+def _cl_params(root, method, **over):
+    params = synthetic_params(
+        root, n_speakers=3, batch_size=2,
+        model_overrides={"max_decoder_steps": 15},
+    )
+    params.update(
+        method=method,
+        experiment_name=method,
+        use_tensorboard=False,
+        tb_log_interval=1,
+        plot_examples=False,
+        speaker_seed=11,
+        num_initial_speakers=0,
+        n_max_epochs=1,
+        test_interval=1,
+        early_stopping=False,
+        early_stopping_steps=2,
+        buffer_sample_size=2,
+        buffer_batch_size=2,
+        buffer_shuffle=True,
+        ewc_importance=1000.0,
+    )
+    params.update(over)
+    return params
+
+
+def _check_stream_outputs(trainer, n_speakers=3):
+    # per-task best checkpoints
+    ckpts = glob.glob(
+        os.path.join(trainer.path_manager.checkpoints_path, "best_*.ckpt")
+    )
+    assert len(ckpts) == n_speakers
+    # backward-transfer matrix
+    pkl = os.path.join(trainer.path_manager.examples_path, "cumutest.pkl")
+    with open(pkl, "rb") as f:
+        cumu = pickle.load(f)
+    assert len(cumu) == n_speakers
+    # the final entry evaluates every seen speaker
+    last = cumu[max(cumu.keys())]
+    assert len(last["losses"]) == n_speakers
+    assert all(np.isfinite(v) for v in last["losses"].values())
+    return cumu
+
+
+def test_er_trainer(corpus):
+    from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
+
+    t = ExperienceReplayTrainer(**_cl_params(corpus, "continual_er"))
+    t.run()
+    _check_stream_outputs(t)
+    # buffer grew by buffer_sample_size per task
+    assert len(t.buffer) == 3 * 2
+
+
+def test_erkd_trainer(corpus):
+    from msa_tts_tpu.trainers.continual_erkd import (
+        ExperienceReplayKnowledgeDistillTrainer,
+    )
+
+    t = ExperienceReplayKnowledgeDistillTrainer(
+        **_cl_params(corpus, "continual_erkd")
+    )
+    t.run()
+    _check_stream_outputs(t)
+    # buffer items carry model-predicted (soft) targets
+    assert all(it.soft_mel is not None for it in t.buffer)
+    it = t.buffer[0]
+    assert it.soft_mel.shape == it.mel.shape
+    assert not np.allclose(it.soft_mel, it.mel)
+
+
+def test_er_reg_trainer_weightdecay(corpus):
+    from msa_tts_tpu.trainers.continual_er_reg import (
+        ExperienceReplayRegTrainer,
+    )
+
+    t = ExperienceReplayRegTrainer(
+        **_cl_params(
+            corpus,
+            "continual_er_reg",
+            regularizaton_method="adaptive_weightdecay",  # sic key accepted
+            weightdecay_value=1e-4,
+        )
+    )
+    t.run()
+    _check_stream_outputs(t)
+    assert t._spk_similarity != 1.0  # similarity actually computed
+
+
+def test_er_reg_buffer_replicate(corpus):
+    from msa_tts_tpu.trainers.continual_er_reg import (
+        ExperienceReplayRegTrainer,
+    )
+
+    t = ExperienceReplayRegTrainer(
+        **_cl_params(
+            corpus,
+            "continual_er_reg2",
+            regularization_method="buffer_replicate",
+            buffer_replicate_factor=2,
+        )
+    )
+    t.run()
+    # each task adds buffer_sample_size × factor items
+    assert len(t.buffer) == 3 * 2 * 2
+
+
+def test_ewc_trainer(corpus):
+    from msa_tts_tpu.trainers.continual_ewc import EWCTrainer
+
+    t = EWCTrainer(**_cl_params(corpus, "continual_ewc"))
+    t.run()
+    _check_stream_outputs(t)
+    # Fisher was computed after task 0
+    assert t._ewc is not None
+    fisher, means = t._ewc
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(fisher)
+    assert any(float(np.abs(np.asarray(l)).sum()) > 0 for l in leaves)
+
+
+def test_cumulative_trainer(corpus):
+    from msa_tts_tpu.trainers.cumulative import CumulativeTrainer
+
+    t = CumulativeTrainer(**_cl_params(corpus, "cumulative"))
+    t.run()
+    cumu = _check_stream_outputs(t)
+
+
+def test_similarity_math():
+    from msa_tts_tpu.trainers.continual_er_reg import (
+        get_similarity,
+        get_spk_similarity,
+    )
+
+    v = np.array([1.0, 0.0])
+    assert get_similarity(v, [np.array([1.0, 0.0])], "cosine") == 1.0
+    assert get_similarity(v, [np.array([0.0, 1.0])], "cosine") == 0.0
+    emb = {
+        "a": np.array([1.0, 0.0]),
+        "b": np.array([0.0, 1.0]),
+        "c": np.array([1.0, 1.0]),
+    }
+    sim = get_spk_similarity(emb, ["a", "b"], "c")
+    assert sim == pytest.approx(1.0, rel=1e-6)  # c ∥ mean(a, b)
