@@ -1,0 +1,219 @@
+"""Vocoder tests: HiFi-GAN torch parity, WaveRNN shapes/generation,
+fold/xfade math, MoL distribution sanity, denoiser."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msa_tts_tpu.vocoders import wavernn as W
+from msa_tts_tpu.vocoders.hifigan import (
+    generator_apply,
+    init_generator,
+)
+
+H_TINY = {
+    "resblock": "1",
+    "upsample_rates": [4, 4],
+    "upsample_kernel_sizes": [8, 8],
+    "upsample_initial_channel": 32,
+    "resblock_kernel_sizes": [3, 5],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5]],
+}
+
+
+def test_hifigan_shapes(rng):
+    params = init_generator(rng, H_TINY, n_mels=20)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 20, 13)),
+                      dtype=jnp.float32)
+    wav = generator_apply(params, H_TINY, mel)
+    assert wav.shape == (2, 13 * 16)  # total upsample 4·4
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_hifigan_matches_torch_generator():
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from msa_tts.utils.hifigan.models import Generator
+    except Exception:
+        pytest.skip("reference hifigan not importable")
+    from msa_tts_tpu.vocoders.hifigan import (
+        AttrDict,
+        generator_params_from_state_dict,
+    )
+
+    h = AttrDict(dict(H_TINY))
+    torch.manual_seed(0)
+    # reference Generator hard-codes 80 input mels
+    gen = Generator(h)
+    gen.eval()
+    gen.remove_weight_norm()
+    sd = {k: v.numpy() for k, v in gen.state_dict().items()}
+    params = generator_params_from_state_dict(sd, h)
+
+    mel = np.random.default_rng(1).standard_normal((1, 80, 11)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        theirs = gen(torch.from_numpy(mel)).numpy()[:, 0, :]
+    ours = np.asarray(generator_apply(params, dict(h), jnp.asarray(mel)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+TINY_WRNN = W.WaveRNNConfig(
+    mode="MOL",
+    n_mels=20,
+    rnn_dims=24,
+    fc_dims=24,
+    compute_dims=16,
+    res_out_dims=16,
+    res_blocks=2,
+    hop_length=32,
+    sample_rate=8000,
+    pad=2,
+    upsample_factors=(4, 8),
+)
+
+
+def test_wavernn_forward_shapes(rng):
+    params, state = W.init_wavernn(rng, TINY_WRNN)
+    T_mel = 12
+    T = (T_mel - 2 * TINY_WRNN.pad) * TINY_WRNN.hop_length
+    mels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 20, T_mel)),
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((2, T))
+    logits = W.wavernn_forward(params, state, TINY_WRNN, x, mels)
+    assert logits.shape == (2, T, 30)
+
+
+def test_wavernn_generate(rng):
+    voc = W.WaveRNN(cfg=TINY_WRNN, rng=rng)
+    mels = np.random.default_rng(0).standard_normal((1, 20, 10)).astype(
+        np.float32
+    )
+    wav = voc.generate(
+        mels, batched=True, target=64, overlap=16,
+        rng=jax.random.PRNGKey(0), verbose=False,
+    )
+    assert wav.shape == ((10 - 1) * TINY_WRNN.hop_length,)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() <= 1.0
+
+
+def test_wavernn_generate_unbatched(rng):
+    voc = W.WaveRNN(cfg=TINY_WRNN, rng=rng)
+    mels = np.random.default_rng(0).standard_normal((1, 20, 8)).astype(
+        np.float32
+    )
+    wav = voc.generate(
+        mels, batched=False, rng=jax.random.PRNGKey(0), verbose=False
+    )
+    assert wav.shape == ((8 - 1) * TINY_WRNN.hop_length,)
+
+
+def test_fold_and_xfade_geometry():
+    """Fold windows share `overlap` frames; unfold restores the original
+    timeline outside the crossfade regions (the fade windows carve a
+    deliberate silence gap for RNN warmup, reference wavernn.py:282-285)."""
+    target, overlap = 32, 8
+    T = 200
+    x = np.arange(T, dtype=np.float32).reshape(1, T, 1)
+    folded = W.fold_with_overlap(x, target, overlap)
+    # each fold starts target+overlap after the previous, spans +2·overlap
+    assert folded.shape[1] == target + 2 * overlap
+    np.testing.assert_array_equal(
+        folded[1, :overlap, 0], folded[0, target + overlap :, 0]
+    )
+
+    y = folded[:, :, 0].astype(np.float64)
+    rec = W.xfade_and_unfold(y.copy(), target, overlap)
+    assert len(rec) >= T
+    # interior of each fold (between crossfade regions) is untouched
+    np.testing.assert_allclose(
+        rec[overlap : target + overlap - overlap],
+        np.arange(overlap, target, dtype=np.float64),
+    )
+
+
+def test_mol_sampling_statistics(rng):
+    """Sampling from a single sharp logistic recovers its mean."""
+    B, K = 512, 10
+    logits = np.zeros((B, 3 * K), np.float32)
+    logits[:, 0] = 10.0          # mixture 0 dominates
+    logits[:, K] = 0.3           # mean of mixture 0
+    logits[:, 2 * K :] = -6.0    # small scale
+    s = W.sample_from_discretized_mix_logistic(
+        jnp.asarray(logits), jax.random.PRNGKey(0)
+    )
+    assert abs(float(s.mean()) - 0.3) < 0.01
+
+
+def test_mol_loss_prefers_correct_mean():
+    K = 10
+    y = jnp.full((4, 16, 1), 0.25)
+    good = np.zeros((4, 16, 3 * K), np.float32)
+    good[..., K:2 * K] = 0.25
+    bad = good.copy()
+    bad[..., K:2 * K] = -0.75
+    lg = float(W.discretized_mix_logistic_loss(jnp.asarray(good), y))
+    lb = float(W.discretized_mix_logistic_loss(jnp.asarray(bad), y))
+    assert lg < lb
+
+
+def test_mol_loss_gradient_recovers_mean():
+    """Minimizing the MoL NLL by gradient descent on the mean heads must
+    converge to the data value (functional correctness of the loss)."""
+    K = 10
+    y = jnp.full((2, 8, 1), 0.4)
+    logits0 = jnp.zeros((2, 8, 3 * K))
+
+    def loss(lg):
+        return W.discretized_mix_logistic_loss(lg, y)
+
+    l0 = float(loss(logits0))
+    lg = logits0
+    for _ in range(200):
+        lg = lg - 0.5 * jax.grad(loss)(lg)
+    means = np.asarray(lg[..., K : 2 * K])
+    # loss decreases and the mixture means move toward the data value
+    assert float(loss(lg)) < l0
+    assert means.mean() > 0.1
+    assert (np.diff([0.0, means.mean()]) > 0).all()
+
+
+def test_denoiser_reduces_noise():
+    from msa_tts_tpu.vocoders.denoiser import reduce_noise
+
+    sr = 8000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    clean = 0.5 * np.sin(2 * np.pi * 440 * t)
+    noise = 0.1 * rng.standard_normal(sr)
+    noisy = (clean + noise).astype(np.float32)
+    out = reduce_noise(
+        noisy, noise.astype(np.float32),
+        n_fft=512, win_length=512, hop_length=128, n_std_thresh=1.0,
+    )
+    assert out.shape == noisy.shape
+
+    # Noise-band energy (away from the 440 Hz tone) must drop sharply
+    # while the tone's band survives.
+    def band_energy(x, lo, hi):
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), 1 / sr)
+        sel = (freqs >= lo) & (freqs < hi)
+        return float((spec[sel] ** 2).sum())
+
+    noise_band_before = band_energy(noisy, 1500, 3500)
+    noise_band_after = band_energy(out, 1500, 3500)
+    tone_before = band_energy(noisy, 400, 480)
+    tone_after = band_energy(out, 400, 480)
+    assert noise_band_after < 0.05 * noise_band_before
+    assert tone_after > 0.08 * tone_before
