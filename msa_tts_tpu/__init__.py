@@ -17,3 +17,15 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("MSA_PLATFORM"):
+    # Explicit platform override (e.g. MSA_PLATFORM=cpu for hermetic CPU
+    # runs in environments whose sitecustomize pins JAX to a TPU plugin).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["MSA_PLATFORM"])
+    except Exception:
+        pass

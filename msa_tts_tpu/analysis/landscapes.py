@@ -1,0 +1,144 @@
+"""Loss-landscape analysis on parameter pytrees.
+
+Replaces the reference's vendored loss-landscapes library
+(msa_tts/utils/loss_landscapes/: ModelParameters vector algebra,
+``random_plane`` 2-D surfaces with filter/layer/model normalization,
+``linear_interpolation`` — main.py:35,232) with direct pytree algebra:
+a "direction" is a pytree like the params, and the loss surface is
+evaluated by a jitted loss function over perturbed parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tree_rand_like(rng, tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(rng, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)],
+    )
+
+
+def _filter_norms(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-filter L2 norm: norm over all dims except the first
+    (per-output-channel for conv/linear weights)."""
+    if x.ndim <= 1:
+        return jnp.sqrt(jnp.sum(x**2, keepdims=True))
+    axes = tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(x**2, axis=axes, keepdims=True))
+
+
+def normalize_direction(direction, params, mode: str = "filter"):
+    """Scale a random direction to match parameter norms (the
+    loss-landscapes normalization schemes)."""
+    if mode == "filter":
+        return jax.tree_util.tree_map(
+            lambda d, p: d
+            * _filter_norms(p)
+            / jnp.maximum(_filter_norms(d), 1e-10),
+            direction,
+            params,
+        )
+    if mode == "layer":
+        return jax.tree_util.tree_map(
+            lambda d, p: d
+            * jnp.linalg.norm(p.ravel())
+            / jnp.maximum(jnp.linalg.norm(d.ravel()), 1e-10),
+            direction,
+            params,
+        )
+    if mode == "model":
+        pn = jnp.sqrt(
+            sum(
+                jnp.sum(l**2)
+                for l in jax.tree_util.tree_leaves(params)
+            )
+        )
+        dn = jnp.sqrt(
+            sum(
+                jnp.sum(l**2)
+                for l in jax.tree_util.tree_leaves(direction)
+            )
+        )
+        return jax.tree_util.tree_map(
+            lambda d: d * pn / jnp.maximum(dn, 1e-10), direction
+        )
+    raise ValueError(f"unknown normalization: {mode}")
+
+
+def random_plane(
+    loss_fn: Callable,
+    params,
+    distance: float = 10.0,
+    steps: int = 16,
+    normalization: str = "filter",
+    rng=None,
+) -> np.ndarray:
+    """Loss surface on a random 2-D plane through ``params``.
+
+    ``loss_fn(params) -> scalar`` must be jittable.  Matches the
+    reference's traversal semantics (start at the corner, step across a
+    ``steps × steps`` grid spanning ``distance``).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    d1 = normalize_direction(tree_rand_like(k1, params), params, normalization)
+    d2 = normalize_direction(tree_rand_like(k2, params), params, normalization)
+
+    # Center the plane on params: offsets span [-distance/2, +distance/2].
+    loss_jit = jax.jit(loss_fn)
+
+    alphas = np.linspace(-0.5, 0.5, steps) * distance
+    betas = np.linspace(-0.5, 0.5, steps) * distance
+    surface = np.zeros((steps, steps))
+    for i, a in enumerate(alphas):
+        for j, b in enumerate(betas):
+            p = jax.tree_util.tree_map(
+                lambda p0, x, y: p0 + a * x + b * y, params, d1, d2
+            )
+            surface[i, j] = float(loss_jit(p))
+    return surface
+
+
+def linear_interpolation(
+    loss_fn: Callable,
+    params_start,
+    params_end,
+    steps: int = 32,
+) -> np.ndarray:
+    """Loss along the line segment between two parameter sets
+    (reference main.py:35-92)."""
+    loss_jit = jax.jit(loss_fn)
+    out = np.zeros(steps)
+    for i, t in enumerate(np.linspace(0.0, 1.0, steps)):
+        p = jax.tree_util.tree_map(
+            lambda a, b: (1.0 - t) * a + t * b, params_start, params_end
+        )
+        out[i] = float(loss_jit(p))
+    return out
+
+
+def trajectory_distances(param_history: list) -> np.ndarray:
+    """L2 distances of a parameter trajectory from its start (the
+    reference's trajectory-tracker analog, contrib/trajectories.py)."""
+    start = param_history[0]
+    out = []
+    for p in param_history:
+        d = jnp.sqrt(
+            sum(
+                jnp.sum((a - b) ** 2)
+                for a, b in zip(
+                    jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(start),
+                )
+            )
+        )
+        out.append(float(d))
+    return np.asarray(out)

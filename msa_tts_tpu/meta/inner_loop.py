@@ -18,7 +18,7 @@ import optax
 
 
 def make_inner_optimizer(optim_cfg: dict) -> optax.GradientTransformation:
-    from ..trainers.train_state import make_optimizer
+    from ..optim import make_optimizer
 
     return make_optimizer(optim_cfg)
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..trainers.train_state import TrainState, clip_by_global_norm
+from ..optim import TrainState, clip_by_global_norm
 from .inner_loop import make_adapt_fn
 
 

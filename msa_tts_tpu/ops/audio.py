@@ -371,6 +371,10 @@ def griffin_lim(
 
     ``spec``: non-negative spectrogram ``(n_freqs, n_frames)`` in the given
     ``power`` scale (2 = power spectrogram).
+
+    All phase arithmetic is carried as explicit (real, imag) float pairs —
+    the TPU backend implements FFTs but not complex multiply kernels, so
+    complex values exist only at the rfft/irfft boundaries.
     """
     S = jnp.asarray(spec) ** (1.0 / power)
     if rng is None:
@@ -378,24 +382,39 @@ def griffin_lim(
     init_phase = jax.random.uniform(
         rng, S.shape, minval=-math.pi, maxval=math.pi
     )
-    angles = jnp.exp(1j * init_phase)
+    ang_re, ang_im = jnp.cos(init_phase), jnp.sin(init_phase)
 
     mom = momentum / (1.0 + momentum)
 
-    def body(carry, _):
-        angles, tprev = carry
-        inverse = istft(S * angles, n_fft, win_length, hop_length, xp=jnp)
-        rebuilt = stft(
-            inverse, n_fft, win_length, hop_length, power=None, xp=jnp
+    def _istft_ri(re, im):
+        return istft(
+            jax.lax.complex(re, im), n_fft, win_length, hop_length, xp=jnp
         )
-        new_angles = rebuilt - mom * tprev
-        new_angles = new_angles / jnp.maximum(jnp.abs(new_angles), 1e-16)
-        return (new_angles, rebuilt), None
 
-    (angles, _), _ = jax.lax.scan(
-        body, (angles, jnp.zeros_like(angles)), None, length=n_iter
+    def _stft_ri(x):
+        c = stft(x, n_fft, win_length, hop_length, power=None, xp=jnp)
+        return c.real, c.imag
+
+    def body(carry, _):
+        ang_re, ang_im, tp_re, tp_im = carry
+        inverse = _istft_ri(S * ang_re, S * ang_im)
+        rb_re, rb_im = _stft_ri(inverse)
+        na_re = rb_re - mom * tp_re
+        na_im = rb_im - mom * tp_im
+        mag = jnp.sqrt(na_re**2 + na_im**2)
+        mag = jnp.maximum(mag, 1e-16)
+        return (na_re / mag, na_im / mag, rb_re, rb_im), None
+
+    (ang_re, ang_im, _, _), _ = jax.lax.scan(
+        body,
+        (ang_re, ang_im, jnp.zeros_like(ang_re), jnp.zeros_like(ang_im)),
+        None,
+        length=n_iter,
     )
-    return istft(S * angles, n_fft, win_length, hop_length, length=length, xp=jnp)
+    return istft(
+        jax.lax.complex(S * ang_re, S * ang_im),
+        n_fft, win_length, hop_length, length=length, xp=jnp,
+    )
 
 
 def griffinlim_logmelspec(log_melspec, audio_params: dict,
@@ -415,6 +434,14 @@ def griffinlim_logmelspec(log_melspec, audio_params: dict,
     inv = jnp.asarray(np.linalg.pinv(fb.T))  # (n_freqs, n_mels)
     spec = inv @ mel
     spec = jnp.abs(jnp.maximum(spec, 1e-10))
+    # Guard against degenerate one/two-frame mels (e.g. an untrained
+    # gate stopping immediately): Griffin-Lim's ISTFT needs at least
+    # enough frames to survive the center trim.
+    min_frames = p["n_fft"] // p["hop_length"] + 1
+    if spec.shape[1] < min_frames:
+        spec = jnp.pad(
+            spec, ((0, 0), (0, min_frames - spec.shape[1])), mode="edge"
+        )
     return griffin_lim(
         spec, p["n_fft"], p["win_length"], p["hop_length"],
         n_iter=p.get("griffinlim_iters", 60), power=2.0, rng=rng,

@@ -1,82 +1,7 @@
-"""Train state and optimizer factory.
+"""Re-export of the optimizer core (kept for import-path stability;
+the implementation lives in msa_tts_tpu.optim to avoid a circular
+import between the meta engine and the trainers package)."""
 
-The optimizer factory accepts the reference's config vocabulary
-(``{"optimizer_type": "Adam", "lr": "1e-3", ...}`` with torch.optim
-names and possibly stringified values — msa_tts/utils/helpers.py:20-26)
-and builds the matching optax chain with torch-equivalent semantics
-(e.g. Adam's ``weight_decay`` is L2-to-gradient, not AdamW decay).
-"""
+from ..optim import TrainState, clip_by_global_norm, make_optimizer
 
-from __future__ import annotations
-
-from typing import Any, NamedTuple
-
-import jax
-import optax
-
-from ..config import parse_optim_params
-
-
-class TrainState(NamedTuple):
-    params: Any
-    model_state: Any      # batch-norm statistics
-    opt_state: Any
-    step: int
-
-
-def _as_betas(value, default=(0.9, 0.999)):
-    if value is None:
-        return default
-    return tuple(value)
-
-
-def make_optimizer(optim_cfg: dict) -> optax.GradientTransformation:
-    """Build an optax optimizer from a reference-style config section."""
-    name, kw = parse_optim_params(optim_cfg)
-    name = name.lower()
-    lr = float(kw.pop("lr", 1e-3))
-    weight_decay = float(kw.pop("weight_decay", 0.0))
-    chain = []
-    if name == "adam":
-        betas = _as_betas(kw.pop("betas", None))
-        eps = float(kw.pop("eps", 1e-8))
-        if weight_decay:
-            chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-    elif name == "adamw":
-        betas = _as_betas(kw.pop("betas", None))
-        eps = float(kw.pop("eps", 1e-8))
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-        if weight_decay:
-            chain.append(optax.add_decayed_weights(weight_decay))
-    elif name == "sgd":
-        momentum = float(kw.pop("momentum", 0.0))
-        if weight_decay:
-            chain.append(optax.add_decayed_weights(weight_decay))
-        if momentum:
-            chain.append(optax.trace(decay=momentum, nesterov=False))
-    elif name == "rmsprop":
-        alpha = float(kw.pop("alpha", 0.99))
-        eps = float(kw.pop("eps", 1e-8))
-        if weight_decay:
-            chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_rms(decay=alpha, eps=eps))
-    else:
-        raise ValueError(f"unknown optimizer: {name}")
-    chain.append(optax.scale(-lr))
-    return optax.chain(*chain)
-
-
-def clip_by_global_norm(grads, max_norm: float):
-    """Global-norm gradient clipping; returns (clipped, pre-clip norm).
-
-    Note the reference calls torch's clip *before* ``backward()``
-    (msa_tts/baseline.py:209-214), clipping the previous step's stale
-    gradients — we clip the freshly computed ones (the intended
-    behavior)."""
-    import jax.numpy as jnp
-
-    leaves = jax.tree_util.tree_leaves(grads)
-    norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
-    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-6))
-    return jax.tree_util.tree_map(lambda g: g * scale, grads), norm
+__all__ = ["TrainState", "clip_by_global_norm", "make_optimizer"]
