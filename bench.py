@@ -1,0 +1,319 @@
+"""Headline benchmark: meta-training throughput (teacher-forced mel
+frames consumed per second) on the flagship Tacotron2NV model.
+
+Workload: one second-order MAML outer step — K tasks × S shots, one
+inner SGD step on the support set plus the query pass — on realistic
+model dims (NVIDIA-Tacotron2-scale: 512 encoder, 1024 decoder RNNs,
+80 mels).  Frames/step = K·S·T_mel·(n_inner + 1).
+
+``python bench.py`` runs the JAX/TPU side and prints ONE json line
+``{"metric", "value", "unit", "vs_baseline"}``;
+``python bench.py --measure-baseline`` measures the PyTorch-CPU
+reference implementation (imported from /root/reference, sequential
+per-task ``higher`` inner loops, the reference's own 4-thread cap) on
+the *same workload* and stores it in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(HERE, "BASELINE_MEASURED.json")
+
+# Matched workload (identical for both implementations).
+K, S = 4, 4               # tasks × shots
+T_IN, T_MEL = 96, 320     # phoneme / mel-frame lengths
+N_INNER = 1
+N_MELS = 80
+FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
+
+MODEL_DIMS = dict(
+    symbols_embedding_dim=512,
+    encoder_n_convolutions=3,
+    encoder_embedding_dim=512,
+    encoder_kernel_size=5,
+    n_frames_per_step=1,
+    speaker_emb_type="static",
+    speaker_embedding_dim=64,
+    speaker_embedding_dim_lin=32,
+    attention_rnn_dim=1024,
+    decoder_rnn_dim=1024,
+    prenet_dim=256,
+    max_decoder_steps=1000,
+    gate_threshold=0.5,
+    p_attention_dropout=0.1,
+    p_decoder_dropout=0.1,
+    postnet_embedding_dim=512,
+    postnet_kernel_size=5,
+    postnet_n_convolutions=5,
+    mask_padding=False,  # avoids reference in-place masked_fill_ breaking autograd
+    use_residual_encoder=False,
+)
+ATTN = {
+    "attention_type": "ForwardAttention",
+    "attention_dim": 128,
+    "attention_location_n_filters": 32,
+    "attention_location_kernel_size": 31,
+    "windowing": False,
+    "norm": "softmax",
+    "forward_attn": True,
+    "trans_agent": True,
+    "forward_attn_mask": False,
+}
+N_SYMBOLS = 129
+
+
+def _episode_np(seed: int):
+    rng = np.random.default_rng(seed)
+    return dict(
+        inputs=rng.integers(1, N_SYMBOLS, (K, S, T_IN)).astype(np.int32),
+        input_lengths=np.full((K, S), T_IN, np.int32),
+        melspecs=rng.standard_normal((K, S, N_MELS, T_MEL)).astype(
+            np.float32
+        ),
+        melspec_lengths=np.full((K, S), T_MEL, np.int32),
+        speaker_vecs=rng.standard_normal((K, S, 64)).astype(np.float32),
+        stop_labels=np.concatenate(
+            [np.zeros((K, S, T_MEL - 1), np.float32),
+             np.ones((K, S, 1), np.float32)], axis=-1,
+        ),
+    )
+
+
+# ---------------------------------------------------------------- JAX side
+
+def run_jax(n_steps: int = 4) -> dict:
+    import jax
+    import optax
+
+    from msa_tts_tpu.meta.maml import make_maml_step
+    from msa_tts_tpu.models import (
+        config_from_params,
+        init_tacotron2nv,
+        tacotron2nv_forward,
+    )
+    from msa_tts_tpu.models.loss import tacotron2_loss
+    from msa_tts_tpu.optim import TrainState
+
+    mp = dict(MODEL_DIMS)
+    mp.update(
+        n_symbols=N_SYMBOLS,
+        n_mel_channels=N_MELS,
+        num_speakers=1,
+        attention_params=dict(ATTN),
+        decoder_no_early_stopping=False,
+    )
+    cfg = config_from_params(mp)
+    params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+
+    def loss_fn(p, ms, batch, rng):
+        outs, new_ms = tacotron2nv_forward(
+            p, ms, cfg,
+            batch["inputs"], batch["input_lengths"],
+            batch["melspecs"], batch["melspec_lengths"],
+            batch["speaker_vecs"], rng, train=True,
+        )
+        loss = tacotron2_loss(
+            tuple(outs),
+            (batch["melspecs"], batch["stop_labels"]),
+            batch["melspec_lengths"],
+            reduction="none",
+            pos_weight=1.0,
+        )
+        return loss, new_ms
+
+    inner_tx = optax.sgd(1e-2)
+    outer_tx = optax.adam(1e-3)
+    step = make_maml_step(
+        loss_fn, inner_tx, outer_tx, n_inner=N_INNER,
+        second_order=True, clip_thresh=1.0, remat=True,
+    )
+    step_jit = jax.jit(step, donate_argnums=(0,))
+
+    tstate = TrainState(params, state, outer_tx.init(params), 0)
+    support = {k: np.ascontiguousarray(v) for k, v in _episode_np(1).items()}
+    query = {k: np.ascontiguousarray(v) for k, v in _episode_np(2).items()}
+
+    # compile + warmup
+    t0 = time.time()
+    tstate, metrics = step_jit(tstate, support, query, jax.random.PRNGKey(0))
+    jax.block_until_ready(metrics.loss)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(n_steps):
+        tstate, metrics = step_jit(
+            tstate, support, query, jax.random.PRNGKey(i + 1)
+        )
+    jax.block_until_ready(metrics.loss)
+    dt = (time.time() - t0) / n_steps
+    return {
+        "sec_per_step": dt,
+        "frames_per_sec": FRAMES_PER_STEP / dt,
+        "compile_sec": compile_s,
+        "loss": float(metrics.loss),
+        "device": str(jax.devices()[0]),
+    }
+
+
+# -------------------------------------------------------------- torch side
+
+def run_torch_reference(n_steps: int = 2) -> dict:
+    """Measure the reference implementation (PyTorch CPU, sequential
+    per-task higher inner loops — msa_tts/maml.py:33-105)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    torch.set_num_threads(4)  # the reference pins BLAS/OMP to 4 threads
+    from msa_tts.models.tacotron2nv import Tacotron2NV
+    from msa_tts.models.modules_tacotron2nv.tacotron2nv_loss import (
+        Tacotron2Loss,
+    )
+
+    try:
+        import higher
+    except ImportError:
+        higher = None
+
+    mp = dict(MODEL_DIMS)
+    mp.update(
+        n_symbols=N_SYMBOLS,
+        n_mel_channels=N_MELS,
+        num_speakers=1,
+        attention_params=dict(ATTN),
+        decoder_no_early_stopping=False,
+        freeze_charemb=False,
+        freeze_encoder=False,
+        freeze_decoder=False,
+    )
+    model = Tacotron2NV(mp)
+    model.train()
+    criterion = Tacotron2Loss(
+        n_frames_per_step=1, reduction="none", pos_weight=1.0,
+        device=torch.device("cpu"),
+    )
+    inner_opt = torch.optim.SGD(model.parameters(), lr=1e-2)
+    outer_opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    ep_s = _episode_np(1)
+    ep_q = _episode_np(2)
+
+    def task_tensors(ep, k):
+        return (
+            torch.from_numpy(ep["inputs"][k]).long(),
+            torch.from_numpy(ep["input_lengths"][k]).long(),
+            torch.from_numpy(ep["melspecs"][k]),
+            torch.from_numpy(ep["melspec_lengths"][k]).long(),
+            torch.from_numpy(ep["speaker_vecs"][k]),
+            torch.from_numpy(ep["stop_labels"][k]),
+        )
+
+    def one_outer_step():
+        grad_list = []
+        for k in range(K):
+            inp, il, mel, ml, spk, stop = task_tensors(ep_s, k)
+            inp_q, il_q, mel_q, ml_q, spk_q, stop_q = task_tensors(ep_q, k)
+            if higher is not None:
+                with higher.innerloop_ctx(
+                    model, inner_opt, track_higher_grads=True
+                ) as (fmodel, diffopt):
+                    for _ in range(N_INNER):
+                        outs = fmodel(inp, il, mel, ml, spk)
+                        loss = criterion(tuple(outs), (mel, stop), ml)
+                        diffopt.step(loss)
+                    outs = fmodel(inp_q, il_q, mel_q, ml_q, spk_q)
+                    loss_q = criterion(
+                        tuple(outs), (mel_q, stop_q), ml_q
+                    )
+                    grads = torch.autograd.grad(
+                        loss_q, fmodel.parameters(time=0),
+                        allow_unused=True,
+                    )
+            else:
+                # No `higher` in env: measure the FOMAML-equivalent
+                # support pass + query pass + backward (a LOWER bound on
+                # the reference's 2nd-order cost).
+                outs = model(inp, il, mel, ml, spk)
+                loss = criterion(tuple(outs), (mel, stop), ml)
+                loss.backward()
+                outs = model(inp_q, il_q, mel_q, ml_q, spk_q)
+                loss_q = criterion(tuple(outs), (mel_q, stop_q), ml_q)
+                loss_q.backward()
+                grads = [p.grad for p in model.parameters()]
+            grad_list.append(grads)
+        outer_opt.zero_grad()
+        for p, *gs in zip(model.parameters(), *grad_list):
+            valid = [g for g in gs if g is not None]
+            if valid:
+                p.grad = sum(valid) / len(grad_list)
+        outer_opt.step()
+        return float(loss_q.item())
+
+    one_outer_step()  # warmup
+    t0 = time.time()
+    for _ in range(n_steps):
+        loss = one_outer_step()
+    dt = (time.time() - t0) / n_steps
+    return {
+        "sec_per_step": dt,
+        "frames_per_sec": FRAMES_PER_STEP / dt,
+        "loss": loss,
+        "threads": 4,
+        "higher_available": higher is not None,
+        "workload": {
+            "K": K, "S": S, "T_in": T_IN, "T_mel": T_MEL,
+            "n_inner": N_INNER, "frames_per_step": FRAMES_PER_STEP,
+        },
+    }
+
+
+def main():
+    if "--measure-baseline" in sys.argv:
+        result = run_torch_reference()
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "description": (
+                        "Reference PyTorch-CPU second-order MAML outer "
+                        "step, sequential tasks via higher, 4 BLAS "
+                        "threads (reference limit_threads), matched "
+                        "workload"
+                    ),
+                    "measured": result,
+                },
+                f,
+                indent=2,
+            )
+        print(json.dumps(result))
+        return
+
+    result = run_jax()
+    baseline_fps = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline_fps = json.load(f)["measured"]["frames_per_sec"]
+    vs = (
+        result["frames_per_sec"] / baseline_fps
+        if baseline_fps
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "meta_train_mel_frames_per_sec",
+                "value": round(result["frames_per_sec"], 1),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

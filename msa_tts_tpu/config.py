@@ -56,12 +56,24 @@ def literal(value: Any) -> Any:
 def parse_optim_params(optim_cfg: dict) -> tuple[str, dict]:
     """Split a reference-style optimizer section into (name, kwargs).
 
-    Reference shape: ``{"optimizer_type": "Adam", "lr": "1e-3", ...}`` —
-    every value possibly a string to be evaluated.
+    Two accepted shapes (both appear in the reference configs):
+      * flat: ``{"optimizer_type": "Adam", "lr": "1e-3", ...}``;
+      * nested (msa_tts/utils/helpers.py:20-26):
+        ``{"optimizer_name": "Adam", "optim_params": {"lr": "1e-3"}}``.
+    Values may be stringified literals (the reference ``eval()``s them;
+    we parse them safely).
     """
     cfg = dict(optim_cfg)
-    name = cfg.pop("optimizer_type", cfg.pop("optim_type", "Adam"))
-    return name, {k: literal(v) for k, v in cfg.items()}
+    if "optim_params" in cfg:
+        name = cfg.get("optimizer_name", cfg.get("optimizer_type", "Adam"))
+        kw = dict(cfg["optim_params"])
+    else:
+        name = cfg.pop(
+            "optimizer_type",
+            cfg.pop("optimizer_name", cfg.pop("optim_type", "Adam")),
+        )
+        kw = cfg
+    return name, {k: literal(v) for k, v in kw.items()}
 
 
 def apply_cli_overrides(params: dict, overrides: list[str]) -> dict:

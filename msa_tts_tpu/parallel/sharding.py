@@ -1,0 +1,72 @@
+"""Sharding specs and pjit-wrapped train steps.
+
+Layout policy (small acoustic model, large batch/task dims — the
+bandwidth-optimal choice per the scaling-book recipe):
+
+  * parameters & optimizer state: replicated (their flops/byte ratio is
+    dominated by the recurrent scans; ~30M params fit every chip);
+  * joint training batch: sharded over ``dp`` on the batch axis;
+  * meta-training episodes: task axis over ``task``, shot axis over
+    ``dp`` — a 2-D sharding of the (K, S, ...) stacked episode, so one
+    meta-batch uses the whole mesh;
+  * gradient/metric reductions: emitted by GSPMD as ``psum`` over the
+    relevant axes automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp·task (all devices)."""
+    return NamedSharding(mesh, P(("dp", "task")))
+
+
+def task_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (K, S, ...) stacked episodes on the task axis.
+
+    Note: sharding the shot axis *simultaneously* (P("task", "dp"))
+    currently trips a check-failure in XLA's convolution SPMD partitioner
+    (convolution_handler) for the vmapped encoder convs, so episodes
+    shard 1-D over tasks; use all devices on the task axis for
+    meta-training and on ``dp`` for joint training."""
+    return NamedSharding(mesh, P(("task", "dp")))
+
+
+def _tree_of(sharding, tree):
+    return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch dict with the joint-training layout."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def shard_task_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = task_batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def jit_with_mesh(step_fn: Callable, donate_state: bool = True) -> Callable:
+    """jit relying on input placement for sharding propagation: callers
+    ``device_put`` states/batches with the helpers above and GSPMD
+    propagates the layout through the program."""
+    return jax.jit(
+        step_fn, donate_argnums=(0,) if donate_state else ()
+    )
+
+
+def replicate_state(state, mesh: Mesh):
+    repl = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), state
+    )

@@ -1,0 +1,141 @@
+"""Aux subsystem tests: speaker classifier, dataset prep, landscapes,
+config parsing."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def test_spk_cls_learns_separable_speakers(tmp_path):
+    from msa_tts_tpu.utils.spk_cls import train_spk_cls
+
+    rng = np.random.default_rng(0)
+    emb = {}
+    for i, spk in enumerate(["a", "b", "c"]):
+        center = np.zeros(16)
+        center[i] = 5.0
+        emb[spk] = {
+            f"utt{j}": (center + 0.1 * rng.standard_normal(16)).astype(
+                np.float32
+            )
+            for j in range(20)
+        }
+        emb[spk]["mean"] = center.astype(np.float32)
+    path = str(tmp_path / "spk_emb.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(emb, f)
+
+    results = train_spk_cls(
+        {
+            "spk_emb_path": path,
+            "dataset_train": {"speakers_list": ["a", "b", "c"]},
+            "spk_seed": 0,
+            "n_epochs_cls": 30,
+            "hidden_size": 32,
+        }
+    )
+    assert set(results.keys()) == {1, 2, 3}
+    assert results[3]["train_acc"] > 0.95
+    assert results[3]["test_acc"] > 0.9
+
+
+def test_prepare_vctk_layout(tmp_path):
+    """Prep script resamples into wavs/ and writes the 5-field metafile."""
+    from msa_tts_tpu.data_processing.prepare_vctk import VCTKProcessor
+    from msa_tts_tpu.ops.audio import save_wav
+
+    root = str(tmp_path)
+    sr = 48000
+    for spk in ["p001", "p002"]:
+        os.makedirs(os.path.join(root, "txt", spk), exist_ok=True)
+        os.makedirs(os.path.join(root, "wav48", spk), exist_ok=True)
+        for i in range(2):
+            t = np.arange(sr // 4) / sr
+            wav = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+            save_wav(
+                os.path.join(root, "wav48", spk, f"{spk}_{i}.wav"), wav, sr
+            )
+            with open(
+                os.path.join(root, "txt", spk, f"{spk}_{i}.txt"), "w"
+            ) as f:
+                f.write("hello world\n")
+
+    proc = VCTKProcessor(root, workers=1)
+    meta_path = proc.create_metadata()
+    lines = [l.strip().split("|") for l in open(meta_path)]
+    assert len(lines) == 4
+    for parts in lines:
+        assert len(parts) == 5
+        spk, wav, text, phon, dur = parts
+        assert spk in ("p001", "p002")
+        assert text.endswith(".")
+        assert len(phon) > 0
+        assert float(dur) > 0
+        # resampled wav exists at 22.05k
+        from scipy.io import wavfile
+
+        sr2, data = wavfile.read(os.path.join(root, "wavs", spk, wav))
+        assert sr2 == 22050
+
+
+def test_landscape_interpolation_convexity():
+    """Linear interpolation of a quadratic loss is a parabola with
+    minimum between the endpoints' pull."""
+    import jax.numpy as jnp
+
+    from msa_tts_tpu.analysis.landscapes import (
+        linear_interpolation,
+        random_plane,
+    )
+
+    target = jnp.asarray([1.0, -1.0])
+
+    def loss(p):
+        return jnp.sum((p["w"] - target) ** 2)
+
+    p0 = {"w": jnp.asarray([0.0, 0.0])}
+    p1 = {"w": jnp.asarray([2.0, -2.0])}
+    vals = linear_interpolation(loss, p0, p1, steps=21)
+    assert vals.argmin() == 10  # midpoint == target
+    assert vals[0] == pytest.approx(2.0)
+
+    surf = random_plane(loss, {"w": target}, distance=2.0, steps=5)
+    assert surf.shape == (5, 5)
+    assert surf.min() == pytest.approx(surf[2, 2], abs=1e-5)
+
+
+def test_config_optim_vocabularies():
+    from msa_tts_tpu.config import parse_optim_params
+    from msa_tts_tpu.optim import make_optimizer
+
+    # flat reference-style section with stringified values
+    name, kw = parse_optim_params(
+        {"optimizer_type": "Adam", "lr": "1e-3", "weight_decay": "0.01"}
+    )
+    assert name == "Adam"
+    assert kw["lr"] == 1e-3
+
+    # helpers.py-style section: optimizer_name + nested optim_params
+    tx = make_optimizer(
+        {"optimizer_name": "Adam", "optim_params": {"lr": "2e-4"}}
+    )
+    import jax.numpy as jnp
+
+    state = tx.init({"w": jnp.zeros(3)})
+    updates, _ = tx.update({"w": jnp.ones(3)}, state, {"w": jnp.zeros(3)})
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_cli_overrides():
+    from msa_tts_tpu.config import apply_cli_overrides
+
+    params = {"a": 1, "nested": {"x": 2}}
+    out = apply_cli_overrides(
+        params, ["--a", "5", "--nested.x", "7", "--new", "hello"]
+    )
+    assert out["a"] == 5
+    assert out["nested"]["x"] == 7
+    assert out["new"] == "hello"
+    assert params["a"] == 1  # original untouched
