@@ -140,10 +140,12 @@ def run_jax(n_steps: int = 4) -> dict:
     support = {k: np.ascontiguousarray(v) for k, v in _episode_np(1).items()}
     query = {k: np.ascontiguousarray(v) for k, v in _episode_np(2).items()}
 
-    # compile + warmup
+    # compile + warmup.  NOTE: timing forces a device→host transfer of
+    # the loss each step — on the axon relay, block_until_ready returns
+    # before execution completes, so only a transfer is a true sync.
     t0 = time.time()
     tstate, metrics = step_jit(tstate, support, query, jax.random.PRNGKey(0))
-    jax.block_until_ready(metrics.loss)
+    float(metrics.loss)
     compile_s = time.time() - t0
 
     t0 = time.time()
@@ -151,7 +153,7 @@ def run_jax(n_steps: int = 4) -> dict:
         tstate, metrics = step_jit(
             tstate, support, query, jax.random.PRNGKey(i + 1)
         )
-    jax.block_until_ready(metrics.loss)
+        float(metrics.loss)
     dt = (time.time() - t0) / n_steps
     return {
         "sec_per_step": dt,

@@ -121,6 +121,9 @@ class DecoderConfig(NamedTuple):
     early_stopping: bool
     attention_params: dict
     p_prenet_dropout: float = 0.5
+    # lax.scan unroll factor for the teacher-forced frame loop (TPU perf
+    # knob: higher = fewer scan iterations, bigger compiled body).
+    scan_unroll: int = 1
 
 
 def init_decoder(rng, cfg: DecoderConfig):
@@ -352,7 +355,7 @@ def decoder_forward(
         return new_carry, outs
 
     _, (mels, gates, aligns) = jax.lax.scan(
-        scan_body, carry0, (dec_in, step_keys)
+        scan_body, carry0, (dec_in, step_keys), unroll=cfg.scan_unroll
     )
 
     # Parse outputs (reference decoder.py:207-232).

@@ -66,6 +66,7 @@ class ModelConfig(NamedTuple):
     freeze_encoder: bool = False
     freeze_decoder: bool = False
     p_prenet_dropout: float = 0.5
+    scan_unroll: int = 1
 
     @property
     def conditioned_embedding_dim(self) -> int:
@@ -93,6 +94,7 @@ class ModelConfig(NamedTuple):
             early_stopping=self.early_stopping,
             attention_params=self.attention_params,
             p_prenet_dropout=self.p_prenet_dropout,
+            scan_unroll=self.scan_unroll,
         )
 
 
@@ -129,6 +131,7 @@ def config_from_params(model_params: dict) -> ModelConfig:
         freeze_encoder=p.get("freeze_encoder", False),
         freeze_decoder=p.get("freeze_decoder", False),
         p_prenet_dropout=p.get("p_prenet_dropout", 0.5),
+        scan_unroll=p.get("scan_unroll", 1),
     )
 
 

@@ -100,6 +100,16 @@ class JointTrainer(TrainerBase):
     # ----------------------------------------------------------- train
     def _train(self, epoch: int, rng):
         print(f"===== Training epoch {epoch}")
+        profile_dir = self.params.get("profile_dir")
+        if profile_dir and epoch == int(self.params.get("profile_epoch", 1)):
+            from ..utils.profiling import trace
+
+            with trace(profile_dir):
+                self._train_epoch(epoch, rng)
+        else:
+            self._train_epoch(epoch, rng)
+
+    def _train_epoch(self, epoch: int, rng):
         n_batches = len(self.dataloader_train)
         last = None
         for itr, batch in enumerate(self.dataloader_train, 1):
