@@ -33,6 +33,13 @@ N_INNER = 1
 N_MELS = 80
 FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
 
+# Tuned execution config (measured on TPU v5e; see git history):
+# remat off (memory fits), decoder scan unrolled 16x, bf16 compute with
+# fp32 master weights/loss — 2.7x over the naive fp32 configuration.
+SCAN_UNROLL = 16
+REMAT = False
+BF16 = True
+
 MODEL_DIMS = dict(
     symbols_embedding_dim=512,
     encoder_n_convolutions=3,
@@ -101,6 +108,9 @@ def run_jax(n_steps: int = 4) -> dict:
     from msa_tts_tpu.models.loss import tacotron2_loss
     from msa_tts_tpu.optim import TrainState
 
+    import jax.numpy as jnp
+
+    bf16 = BF16 and "--fp32" not in sys.argv
     mp = dict(MODEL_DIMS)
     mp.update(
         n_symbols=N_SYMBOLS,
@@ -108,11 +118,21 @@ def run_jax(n_steps: int = 4) -> dict:
         num_speakers=1,
         attention_params=dict(ATTN),
         decoder_no_early_stopping=False,
+        scan_unroll=SCAN_UNROLL,
     )
     cfg = config_from_params(mp)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
 
     def loss_fn(p, ms, batch, rng):
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), p
+            )
+            batch = dict(
+                batch,
+                melspecs=batch["melspecs"].astype(jnp.bfloat16),
+                speaker_vecs=batch["speaker_vecs"].astype(jnp.bfloat16),
+            )
         outs, new_ms = tacotron2nv_forward(
             p, ms, cfg,
             batch["inputs"], batch["input_lengths"],
@@ -120,8 +140,8 @@ def run_jax(n_steps: int = 4) -> dict:
             batch["speaker_vecs"], rng, train=True,
         )
         loss = tacotron2_loss(
-            tuple(outs),
-            (batch["melspecs"], batch["stop_labels"]),
+            tuple(o.astype(jnp.float32) for o in outs),
+            (batch["melspecs"].astype(jnp.float32), batch["stop_labels"]),
             batch["melspec_lengths"],
             reduction="none",
             pos_weight=1.0,
@@ -132,7 +152,7 @@ def run_jax(n_steps: int = 4) -> dict:
     outer_tx = optax.adam(1e-3)
     step = make_maml_step(
         loss_fn, inner_tx, outer_tx, n_inner=N_INNER,
-        second_order=True, clip_thresh=1.0, remat=True,
+        second_order=True, clip_thresh=1.0, remat=REMAT,
     )
     step_jit = jax.jit(step, donate_argnums=(0,))
 

@@ -118,8 +118,34 @@ class TrainerBase:
         self._eval_step_jit = jax.jit(self._eval_step)
 
     # ------------------------------------------------------- step funcs
+    def _cast_for_compute(self, params, model_state, batch):
+        """Mixed precision: with ``compute_dtype: bfloat16`` the forward
+        runs in bf16 (params cast inside the differentiated graph, so
+        gradients land back on the fp32 master weights); the loss is
+        always accumulated in fp32."""
+        dtype = self.params.get("compute_dtype")
+        if dtype not in ("bfloat16", "bf16"):
+            return params, model_state, batch
+
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+
+        batch = dict(batch)
+        for k in ("melspecs", "speaker_vecs"):
+            if k in batch and batch[k].dtype == jnp.float32:
+                batch[k] = batch[k].astype(jnp.bfloat16)
+        return cast(params), cast(model_state), batch
+
     def _loss_for_batch(self, params, model_state, batch: dict, rng,
                         train: bool = True):
+        params, model_state, batch = self._cast_for_compute(
+            params, model_state, batch
+        )
         outs, new_state = tacotron2nv_forward(
             params,
             model_state,
@@ -132,10 +158,18 @@ class TrainerBase:
             rng,
             train=train,
         )
+        # loss + carried state in fp32 regardless of compute dtype
+        outs = [o.astype(jnp.float32) for o in outs]
+        new_state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+            else x,
+            new_state,
+        )
         mel_out, mel_post, gate, align = outs
         loss = tacotron2_loss(
             (mel_out, mel_post, gate, align),
-            (batch["melspecs"], batch["stop_labels"]),
+            (batch["melspecs"].astype(jnp.float32), batch["stop_labels"]),
             batch["melspec_lengths"],
             **self.loss_kwargs,
         )

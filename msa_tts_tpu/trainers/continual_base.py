@@ -16,7 +16,6 @@ with a seeded RNG.
 
 from __future__ import annotations
 
-import copy
 import os
 import pickle
 import random
@@ -24,7 +23,6 @@ import random
 import jax
 import numpy as np
 
-from ..dataloaders.collate import Batch, collate
 from ..dataloaders.dataset import Item, TTSDataset
 from ..dataloaders.loader_default import DataLoader
 from ..dataloaders.metafile import parse_metafile, split_speakers
