@@ -125,6 +125,34 @@ def linear_interpolation(
     return out
 
 
+def bezier_path(loss_fn: Callable, params_start, params_end, control,
+                steps: int = 32) -> np.ndarray:
+    """Loss along a quadratic Bézier curve between two parameter sets
+    with one control point (reference contrib/connecting_paths.py
+    analog)."""
+    loss_jit = jax.jit(loss_fn)
+    out = np.zeros(steps)
+    for i, t in enumerate(np.linspace(0.0, 1.0, steps)):
+        a, b, c = (1 - t) ** 2, 2 * (1 - t) * t, t**2
+        p = jax.tree_util.tree_map(
+            lambda s, m, e: a * s + b * m + c * e,
+            params_start, control, params_end,
+        )
+        out[i] = float(loss_jit(p))
+    return out
+
+
+def polygon_path(loss_fn: Callable, waypoints: list,
+                 steps_per_segment: int = 16) -> np.ndarray:
+    """Loss along the piecewise-linear path through ``waypoints``
+    (reference contrib polygon-chain analog)."""
+    segments = [
+        linear_interpolation(loss_fn, a, b, steps_per_segment)
+        for a, b in zip(waypoints[:-1], waypoints[1:])
+    ]
+    return np.concatenate(segments)
+
+
 def trajectory_distances(param_history: list) -> np.ndarray:
     """L2 distances of a parameter trajectory from its start (the
     reference's trajectory-tracker analog, contrib/trajectories.py)."""
