@@ -478,10 +478,24 @@ class WaveRNN:
         )
         mels_np = np.asarray(mels_up)
         aux_np = np.asarray(aux) if aux is not None else None
+        n_folds = None
         if batched:
             mels_np = fold_with_overlap(mels_np, target, overlap)
             if aux_np is not None:
                 aux_np = fold_with_overlap(aux_np, target, overlap)
+            # Pad the fold axis to a multiple so (folds, seq) shapes are
+            # drawn from a small set → XLA compiles the sample scan once
+            # per (target, overlap) instead of once per utterance length.
+            n_folds = mels_np.shape[0]
+            pad_to = -(-n_folds // 4) * 4
+            if pad_to != n_folds:
+                mels_np = np.pad(
+                    mels_np, ((0, pad_to - n_folds), (0, 0), (0, 0))
+                )
+                if aux_np is not None:
+                    aux_np = np.pad(
+                        aux_np, ((0, pad_to - n_folds), (0, 0), (0, 0))
+                    )
         t0 = time.time()
         samples = np.asarray(
             self._run(
@@ -491,6 +505,8 @@ class WaveRNN:
                 rng,
             )
         ).astype(np.float64)
+        if n_folds is not None:
+            samples = samples[:n_folds]
         if verbose:
             n = samples.size
             rate_khz = n / max(time.time() - t0, 1e-9) / 1000.0
