@@ -128,21 +128,23 @@ def fused_lstm_cell(
         ],
         out_specs=[
             pl.BlockSpec(
-                (B, None, HB), lambda j: (0, j, 0),
+                (None, B, HB), lambda j: (j, 0, 0),
                 memory_space=pltpu.VMEM if pltpu else None,
             ),
             pl.BlockSpec(
-                (B, None, HB), lambda j: (0, j, 0),
+                (None, B, HB), lambda j: (j, 0, 0),
                 memory_space=pltpu.VMEM if pltpu else None,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_blocks, HB), h.dtype),
-            jax.ShapeDtypeStruct((B, n_blocks, HB), h.dtype),
+            jax.ShapeDtypeStruct((n_blocks, B, HB), h.dtype),
+            jax.ShapeDtypeStruct((n_blocks, B, HB), h.dtype),
         ],
         interpret=interpret,
     )(x_blocks, h, c_blocks, w_blocks)
-    return h_out.reshape(B, H), c_out.reshape(B, H)
+    h_out = h_out.transpose(1, 0, 2).reshape(B, H)
+    c_out = c_out.transpose(1, 0, 2).reshape(B, H)
+    return h_out, c_out
 
 
 def lstm_cell_reference(x_proj, h, c, w_hh_t):
