@@ -107,6 +107,48 @@ class FallbackBackend:
         return " ".join(words)
 
 
+class SegmentsBackend:
+    """Grapheme-map backend: longest-match tokenization over a
+    user-provided tab-separated ``grapheme\\tIPA`` profile file (the
+    format of the reference's vendored segments ``.g2p`` profiles —
+    msa_tts/utils/g2p/phonemizer_api/backend/segments.py).  The mapping
+    data itself is user-supplied; none is bundled."""
+
+    def __init__(self, profile_path: str):
+        self.mapping: dict[str, str] = {}
+        with open(profile_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if len(parts) >= 2 and parts[0].lower() != "grapheme":
+                    self.mapping[parts[0]] = parts[1]
+        if not self.mapping:
+            raise ValueError(f"empty g2p profile: {profile_path}")
+        self._max_len = max(len(k) for k in self.mapping)
+
+    def phonemize_chunk(self, text: str, language: str = "") -> str:
+        out = []
+        for word in text.lower().split():
+            phones = []
+            i = 0
+            while i < len(word):
+                for L in range(min(self._max_len, len(word) - i), 0, -1):
+                    piece = word[i : i + L]
+                    if piece in self.mapping:
+                        phones.append(self.mapping[piece])
+                        i += L
+                        break
+                else:
+                    if word[i] in PUNCTUATIONS:
+                        phones.append(word[i])
+                    i += 1  # unknown grapheme: skip (lenient mode)
+            if phones:
+                out.append("".join(phones))
+        return " ".join(out)
+
+
 def _split_keep_punctuation(text: str):
     """Split ``text`` into (chunk, trailing punctuation) pairs."""
     pattern = re.compile(f"([{re.escape(PUNCTUATIONS)}])")
@@ -124,7 +166,8 @@ def _split_keep_punctuation(text: str):
 class Grapheme2Phoneme:
     """Text/phoneme to index-sequence converter over the IPA vocabulary."""
 
-    def __init__(self, backend: str = "auto"):
+    def __init__(self, backend: str = "auto",
+                 segments_profile: str | None = None):
         self.char_list = char_list
         self.char_to_id = CHAR_TO_ID
         self.id_to_char = {i: c for c, i in CHAR_TO_ID.items()}
@@ -132,6 +175,12 @@ class Grapheme2Phoneme:
             self.backend = EspeakBackend()
         elif backend == "fallback":
             self.backend = FallbackBackend()
+        elif backend == "segments":
+            if not segments_profile:
+                raise ValueError(
+                    "segments backend needs a grapheme-map profile path"
+                )
+            self.backend = SegmentsBackend(segments_profile)
         else:  # auto
             self.backend = (
                 EspeakBackend() if find_espeak() else FallbackBackend()
@@ -166,21 +215,21 @@ class Grapheme2Phoneme:
         return seq, phones
 
     def text_to_phone_to_index_list_alignment(self, text: str, **kwargs):
-        """Phonemize with per-word (start, end) spans into the phone string."""
+        """Phonemize with per-word (start, end) spans into the phone
+        string.  (The reference smuggles a ``" ::: "`` separator through
+        the phonemizer; phonemizing word-by-word gives the same spans
+        without relying on the engine preserving the marker.)"""
         language = kwargs.get("language", "en-us")
-        sep = " ::: "
-        joined = sep.join(text.split())
-        out = self.text_to_phone(joined, language=language)
-        per_word = out.split(sep.strip())
-        per_word = [p.strip() for p in per_word]
+        words = text.split()
+        per_word = [
+            self.text_to_phone(w, language=language) for w in words
+        ]
 
         word_to_idx = []
-        words = text.split()
         start = 0
-        for itr, phone in enumerate(per_word):
+        for word, phone in zip(words, per_word):
             end = start + len(phone) - 1
-            if itr < len(words):
-                word_to_idx.append((words[itr], (start, end)))
+            word_to_idx.append((word, (start, end)))
             start = end + 1
         final = "".join(per_word)
         seq = [self.char_to_id[c] for c in final if self._keep(c)]
