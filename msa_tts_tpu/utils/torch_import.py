@@ -209,3 +209,123 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return state_dict_to_pytrees(sd, cfg)
+
+
+def pytrees_to_state_dict(params, state, cfg: ModelConfig) -> dict:
+    """Inverse of :func:`state_dict_to_pytrees`: export our pytrees as a
+    reference-layout ``state_dict`` (numpy arrays), so models trained
+    here can be consumed by reference tooling."""
+    sd: dict = {"embedding.weight": _np(params["embedding"]["weight"])}
+
+    for i, (layer, bn_s) in enumerate(
+        zip(
+            params["encoder"]["convolutions"],
+            state["encoder"]["convolutions"],
+        )
+    ):
+        base = f"encoder.convolutions.{i}"
+        sd[f"{base}.0.conv.weight"] = _np(layer["conv"]["weight"])
+        sd[f"{base}.0.conv.bias"] = _np(layer["conv"]["bias"])
+        sd[f"{base}.1.weight"] = _np(layer["bn"]["weight"])
+        sd[f"{base}.1.bias"] = _np(layer["bn"]["bias"])
+        sd[f"{base}.1.running_mean"] = _np(bn_s["running_mean"])
+        sd[f"{base}.1.running_var"] = _np(bn_s["running_var"])
+        sd[f"{base}.1.num_batches_tracked"] = np.zeros((), np.int64)
+
+    for direction, suffix in (("forward", ""), ("backward", "_reverse")):
+        p = params["encoder"]["lstm"][direction]
+        for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"encoder.lstm.{k}_l0{suffix}"] = _np(p[k])
+
+    if cfg.speaker_emb_type == "learnable_lookup":
+        sd["speaker_embedder.weight"] = _np(
+            params["speaker_embedder"]["weight"]
+        )
+    elif cfg.speaker_emb_type == "static+linear":
+        sd["speaker_lin.weight"] = _np(params["speaker_lin"]["weight"])
+        sd["speaker_lin.bias"] = _np(params["speaker_lin"]["bias"])
+
+    dec = params["decoder"]
+    for i, layer in enumerate(dec["prenet"]["layers"]):
+        sd[f"decoder.prenet.layers.{i}.linear_layer.weight"] = _np(
+            layer["weight"]
+        )
+    for rnn in ("attention_rnn", "decoder_rnn"):
+        for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            sd[f"decoder.{rnn}.{k}"] = _np(dec[rnn][k])
+
+    attn = dec["attention_layer"]
+    al = "decoder.attention_layer"
+    if cfg.attention_params["attention_type"] == "ForwardAttention":
+        sd[f"{al}.query_layer.linear_layer.weight"] = _np(
+            attn["query_layer"]["weight"]
+        )
+        sd[f"{al}.inputs_layer.linear_layer.weight"] = _np(
+            attn["inputs_layer"]["weight"]
+        )
+        sd[f"{al}.v.linear_layer.weight"] = _np(attn["v"]["weight"])
+        sd[f"{al}.v.linear_layer.bias"] = _np(attn["v"]["bias"])
+        if "ta" in attn:
+            sd[f"{al}.ta.weight"] = _np(attn["ta"]["weight"])
+            sd[f"{al}.ta.bias"] = _np(attn["ta"]["bias"])
+        if "location_layer" in attn:
+            sd[f"{al}.location_layer.location_conv1d.weight"] = _np(
+                attn["location_layer"]["location_conv1d"]["weight"]
+            )
+            sd[
+                f"{al}.location_layer.location_dense.linear_layer.weight"
+            ] = _np(attn["location_layer"]["location_dense"]["weight"])
+    else:
+        sd[f"{al}.query_layer.linear_layer.weight"] = _np(
+            attn["query_layer"]["weight"]
+        )
+        sd[f"{al}.memory_layer.linear_layer.weight"] = _np(
+            attn["memory_layer"]["weight"]
+        )
+        sd[f"{al}.v.linear_layer.weight"] = _np(attn["v"]["weight"])
+        sd[f"{al}.location_layer.location_conv.conv.weight"] = _np(
+            attn["location_layer"]["location_conv1d"]["weight"]
+        )
+        sd[
+            f"{al}.location_layer.location_dense.linear_layer.weight"
+        ] = _np(attn["location_layer"]["location_dense"]["weight"])
+
+    sd["decoder.linear_projection.linear_layer.weight"] = _np(
+        dec["linear_projection"]["weight"]
+    )
+    sd["decoder.linear_projection.linear_layer.bias"] = _np(
+        dec["linear_projection"]["bias"]
+    )
+    sd["decoder.gate_layer.linear_layer.weight"] = _np(
+        dec["gate_layer"]["weight"]
+    )
+    sd["decoder.gate_layer.linear_layer.bias"] = _np(
+        dec["gate_layer"]["bias"]
+    )
+
+    for i, (layer, bn_s) in enumerate(
+        zip(
+            params["postnet"]["convolutions"],
+            state["postnet"]["convolutions"],
+        )
+    ):
+        base = f"postnet.convolutions.{i}"
+        sd[f"{base}.0.conv.weight"] = _np(layer["conv"]["weight"])
+        sd[f"{base}.0.conv.bias"] = _np(layer["conv"]["bias"])
+        sd[f"{base}.1.weight"] = _np(layer["bn"]["weight"])
+        sd[f"{base}.1.bias"] = _np(layer["bn"]["bias"])
+        sd[f"{base}.1.running_mean"] = _np(bn_s["running_mean"])
+        sd[f"{base}.1.running_var"] = _np(bn_s["running_var"])
+        sd[f"{base}.1.num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
+
+
+def save_torch_checkpoint(path: str, params, state, cfg: ModelConfig):
+    """Write a reference-consumable ``.pt`` checkpoint."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in pytrees_to_state_dict(params, state, cfg).items()
+    }
+    torch.save(sd, path)

@@ -216,3 +216,30 @@ def _ref_infer(ref_model, inputs, in_len, spk):
         torch.from_numpy(spk),
     )
     return mel_post, None, None, mel_lengths
+
+
+def test_torch_export_roundtrip(our_model, tmp_path):
+    """Export our params to a reference-layout .pt, reload, and require
+    identical pytrees — and loadable by the reference model itself."""
+    from msa_tts_tpu.utils.torch_import import (
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    cfg, params, state = our_model
+    path = str(tmp_path / "export.pt")
+    save_torch_checkpoint(path, params, state, cfg)
+    params2, state2 = load_torch_checkpoint(path, cfg)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the reference model accepts the exported state_dict verbatim
+    from msa_tts.models.tacotron2nv import Tacotron2NV
+
+    ref = Tacotron2NV(dict(MODEL_PARAMS))
+    sd = torch.load(path, weights_only=True)
+    ref.load_state_dict(sd)
