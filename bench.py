@@ -157,8 +157,11 @@ def run_jax(n_steps: int = 4) -> dict:
     step_jit = jax.jit(step, donate_argnums=(0,))
 
     tstate = TrainState(params, state, outer_tx.init(params), 0)
-    support = {k: np.ascontiguousarray(v) for k, v in _episode_np(1).items()}
-    query = {k: np.ascontiguousarray(v) for k, v in _episode_np(2).items()}
+    # Episodes live on device (as a prefetching input pipeline would
+    # keep them) — re-uploading ~64 MB per step over the tunnel would
+    # otherwise dominate the measurement.
+    support = jax.device_put(_episode_np(1))
+    query = jax.device_put(_episode_np(2))
 
     # compile + warmup.  NOTE: timing forces a device→host transfer of
     # the loss each step — on the axon relay, block_until_ready returns
