@@ -38,6 +38,9 @@ class Item:
     # ER-KD replay slot: when set, this (soft) mel replaces the ground
     # truth during batching (reference dataloader_default_buffer.py:93-96).
     soft_mel: np.ndarray | None = None
+    # source audio path (kept for consumers that need waveforms, e.g.
+    # vocoder training; the acoustic model only uses the cached mel)
+    audio_path: str | None = None
 
     @property
     def mel_for_training(self) -> np.ndarray:
@@ -113,6 +116,7 @@ class TTSDataset:
                         mel=mel,
                         duration=u.duration,
                         spk_emb=spk_emb_dict[speaker],
+                        audio_path=path,
                     )
                 )
 
