@@ -112,9 +112,17 @@ class JointTrainer(TrainerBase):
     def _train_epoch(self, epoch: int, rng):
         n_batches = len(self.dataloader_train)
         last = None
-        for itr, batch in enumerate(self.dataloader_train, 1):
+        # keep `prefetch` batches uploading while the device computes
+        from ..dataloaders.prefetch import prefetch_to_device
+
+        batches = (
+            self._unpack_batch(b) for b in self.dataloader_train
+        )
+        n_prefetch = int(self.params.get("prefetch", 2))
+        if n_prefetch > 0:
+            batches = prefetch_to_device(batches, size=n_prefetch)
+        for itr, inputs in enumerate(batches, 1):
             step_rng = jax.random.fold_in(rng, itr)
-            inputs = self._unpack_batch(batch)
             self.train_state, metrics, outs = self._train_step_jit(
                 self.train_state, inputs, step_rng
             )
@@ -136,13 +144,13 @@ class JointTrainer(TrainerBase):
                 f"{n_batches} ::  step loss: {loss:#.4} | mcd: {mcd:#.4} "
             )
             self.step_global += 1
-            last = (batch, inputs, outs)
+            last = (inputs, outs)
 
         if last is not None and self.params.get("plot_examples", True):
             self._plot_example(last, f"train-{self.step_global // 1000}K")
 
     def _plot_example(self, last, name: str):
-        batch, inputs, outs = last
+        inputs, outs = last
         idx = -1
         mel_post = np.asarray(outs[1][idx])
         attn = np.asarray(outs[3][idx])

@@ -146,3 +146,18 @@ def test_binned_sampler_locality():
         chunk = order[start : start + 10]
         chunk_lengths = lengths[chunk]
         assert chunk_lengths.max() - chunk_lengths.min() < 10
+
+
+def test_prefetch_to_device_preserves_order():
+    import jax
+    from msa_tts_tpu.dataloaders.prefetch import prefetch_to_device
+
+    items = [{"x": np.full((2,), i, np.float32)} for i in range(7)]
+    out = list(prefetch_to_device(iter(items), size=3))
+    assert len(out) == 7
+    for i, o in enumerate(out):
+        assert isinstance(o["x"], jax.Array)
+        assert float(o["x"][0]) == i
+    # size larger than the stream also works
+    out2 = list(prefetch_to_device(iter(items[:2]), size=5))
+    assert len(out2) == 2
