@@ -169,3 +169,30 @@ def test_similarity_math():
     }
     sim = get_spk_similarity(emb, ["a", "b"], "c")
     assert sim == pytest.approx(1.0, rel=1e-6)  # c ∥ mean(a, b)
+
+
+def test_er_with_initial_finetune(corpus):
+    """num_initial_speakers > 0: pre-train on the first speakers, then
+    stream over ALL speakers with offset task indices (reference
+    continual_er.py:236-244 semantics)."""
+    from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
+
+    params = _cl_params(corpus, "continual_er")
+    params["experiment_name"] = "er_init"
+    params["num_initial_speakers"] = 1
+    t = ExperienceReplayTrainer(**params)
+    t.run()
+    import glob
+    import os
+
+    names = {
+        os.path.basename(c)
+        for c in glob.glob(
+            os.path.join(t.path_manager.checkpoints_path, "best_*.ckpt")
+        )
+    }
+    # initial phase saves best_0_<spk>; stream saves best_1..best_3
+    assert any(n.startswith("best_0_") for n in names)
+    assert len(names) == 4  # 1 initial + 3 stream tasks
+    # buffer seeded during the initial phase, grown by each stream task
+    assert len(t.buffer) == 2 * 4
