@@ -132,30 +132,25 @@ class ExperienceReplayRegTrainer(ContinualTrainerBase):
             opt_state=self.tx.init(self.train_state.params)
         )
 
+        # adaptive weight clipping: scale the clip threshold by the
+        # speaker similarity for the whole task (:356-361).  The base
+        # step reads self.params at trace time, and _reset_optimizer
+        # re-jits per task, so setting the derived value here is enough.
+        if not hasattr(self, "_base_clip_thresh"):
+            self._base_clip_thresh = float(
+                self.params.get("grad_clip_thresh", 1.0)
+            )
         if (
             self._reg_method == "adaptive_weightclipping"
             and self._spk_similarity != 1.0
             and self.params.get("clip_grad_norm", False)
         ):
-            # scale the clip threshold by similarity (:356-361)
-            self._clip_override = self._spk_similarity * float(
-                self.params.get("grad_clip_thresh", 1.0)
+            self.params["grad_clip_thresh"] = (
+                self._spk_similarity * self._base_clip_thresh
             )
         else:
-            self._clip_override = None
+            self.params["grad_clip_thresh"] = self._base_clip_thresh
         self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0,))
-
-    def _train_step(self, state, batch, rng):
-        if self._clip_override is not None:
-            # temporarily narrow the clip threshold for this task
-            params = dict(self.params)
-            params["grad_clip_thresh"] = self._clip_override
-            saved, self.params = self.params, params
-            try:
-                return super()._train_step(state, batch, rng)
-            finally:
-                self.params = saved
-        return super()._train_step(state, batch, rng)
 
 
 def main(args):
