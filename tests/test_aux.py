@@ -139,3 +139,84 @@ def test_cli_overrides():
     assert out["nested"]["x"] == 7
     assert out["new"] == "hello"
     assert params["a"] == 1  # original untouched
+
+
+def _tone(sr=22050, dur=0.25):
+    t = np.arange(int(sr * dur)) / sr
+    return np.sin(2 * np.pi * 330 * t).astype(np.float32)
+
+
+def test_prepare_ljspeech_layout(tmp_path):
+    from msa_tts_tpu.data_processing.prepare_ljspeech import (
+        LJSpeechProcessor,
+    )
+    from msa_tts_tpu.ops.audio import save_wav
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
+    rows = []
+    for i in range(3):
+        wav_id = f"LJ001-{i:04d}"
+        save_wav(
+            os.path.join(root, "wavs", wav_id + ".wav"), _tone(), 22050
+        )
+        rows.append(f"{wav_id}|Raw text {i}|Normalized text {i}.")
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(rows))
+
+    meta = LJSpeechProcessor(root, workers=1).create_metadata()
+    lines = [l.strip().split("|") for l in open(meta)]
+    assert len(lines) == 3
+    for spk, wav, text, phon, dur in lines:
+        assert spk == "lj"
+        assert wav.startswith("wavs/")
+        assert phon and float(dur) > 0
+
+
+def test_prepare_css10_layout(tmp_path):
+    from msa_tts_tpu.data_processing.prepare_css10 import CSS10Processor
+    from msa_tts_tpu.ops.audio import save_wav
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "clips"), exist_ok=True)
+    rows = []
+    for i in range(2):
+        rel = f"clips/utt{i}.wav"
+        save_wav(os.path.join(root, rel), _tone(), 22050)
+        rows.append(f"{rel}|roh text {i}|normal text {i}.|1.0")
+    with open(os.path.join(root, "transcript.txt"), "w") as f:
+        f.write("\n".join(rows))
+
+    meta = CSS10Processor(root, lang="en-us", workers=1).create_metadata()
+    lines = [l.strip().split("|") for l in open(meta)]
+    assert len(lines) == 2
+    assert all(p[0] == "css10_en-us" for p in lines)
+
+
+def test_prepare_comvoice_layout(tmp_path):
+    from msa_tts_tpu.data_processing.prepare_comvoice import (
+        CommonVoiceProcessor,
+    )
+    from msa_tts_tpu.ops.audio import save_wav
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "clips_wav"), exist_ok=True)
+    rows = ["client_id\tpath\tsentence"]
+    for spk in ("c1", "c2"):
+        for i in range(3):
+            name = f"{spk}_{i}.mp3"
+            save_wav(
+                os.path.join(root, "clips_wav", f"{spk}_{i}.wav"),
+                _tone(), 22050,
+            )
+            rows.append(f"{spk}\t{name}\tA sentence {i}")
+    with open(os.path.join(root, "validated.tsv"), "w") as f:
+        f.write("\n".join(rows))
+
+    proc = CommonVoiceProcessor(
+        root, lang="en-us", workers=1, min_per_spk=3
+    )
+    meta = proc.create_metadata()
+    lines = [l.strip().split("|") for l in open(meta)]
+    assert len(lines) == 6
+    assert {p[0] for p in lines} == {"c1", "c2"}
