@@ -31,7 +31,6 @@ from ..utils.checkpoint import save_checkpoint
 from ..utils.logging_utils import MetricsLogger
 from ..utils.paths import PathManager
 from ..vocoders.wavernn import (
-    WaveRNNConfig,
     config_from_params,
     discretized_mix_logistic_loss,
     gaussian_loss,
