@@ -24,6 +24,45 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_graft_dryrun_multichip_driver_env():
+    """Run dryrun_multichip exactly as the driver does: a FRESH interpreter
+    with no conftest platform pinning, so the sitecustomize default backend
+    (axon TPU in the dev image) is what __graft_entry__ itself must defeat.
+
+    Round 1 shipped a dryrun that passed in-process (conftest had already
+    pinned CPU) but failed in the driver env because jax.devices() ran
+    before the platform switch (MULTICHIP_r01.json rc=1). This subprocess
+    variant is the regression guard for that exact failure mode."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    # Undo everything the conftest/test env pre-arranged so the child
+    # starts the way the driver starts.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("MSA_PLATFORM", None)
+    flags = env.get("XLA_FLAGS", "")
+    flags = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"driver-env dryrun failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "dryrun_multichip joint OK" in proc.stdout
+
+
 def test_bench_run_jax_smoke(monkeypatch):
     """bench.run_jax must execute end to end (shrunk dims on CPU)."""
     import bench
