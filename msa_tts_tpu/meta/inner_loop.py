@@ -29,6 +29,7 @@ def make_adapt_fn(
     n_steps: int,
     *,
     remat: bool = True,
+    grad_pmean_axis=None,
 ):
     """Build ``adapt(params, model_state, batch, rng)``.
 
@@ -40,6 +41,12 @@ def make_adapt_fn(
     ``jax.grad`` through it for second-order MAML, or stop gradients at
     its output for first-order variants.  Safe under ``vmap`` over a
     task axis (the batch is part of the scan carry, no hidden state).
+
+    ``grad_pmean_axis``: mesh axis name (or tuple of names) to pmean the
+    inner gradients and losses over each step.  Used under ``shard_map``
+    when a task's support shots are sharded across that axis — every
+    shard then computes identical adapted params (see
+    parallel/shard_meta.py).
     """
 
     def one_step(carry, rng_t):
@@ -52,6 +59,9 @@ def make_adapt_fn(
         (loss, new_ms), grads = jax.value_and_grad(
             step_loss, has_aux=True
         )(params)
+        if grad_pmean_axis is not None:
+            grads = jax.lax.pmean(grads, grad_pmean_axis)
+            loss = jax.lax.pmean(loss, grad_pmean_axis)
         updates, opt_state = inner_tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, new_ms, batch), loss

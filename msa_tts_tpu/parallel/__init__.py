@@ -1,4 +1,9 @@
 from .mesh import make_mesh, single_device_mesh
+from .shard_meta import (
+    episode_sharding_2d,
+    make_sharded_maml_step,
+    shard_task_batch_2d,
+)
 from .sharding import (
     batch_sharding,
     jit_with_mesh,
@@ -13,10 +18,13 @@ __all__ = [
     "make_mesh",
     "single_device_mesh",
     "batch_sharding",
+    "episode_sharding_2d",
     "jit_with_mesh",
+    "make_sharded_maml_step",
     "replicate_state",
     "replicated",
     "shard_batch",
     "shard_task_batch",
+    "shard_task_batch_2d",
     "task_batch_sharding",
 ]

@@ -31,13 +31,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def task_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard (K, S, ...) stacked episodes on the task axis.
+    """Shard (K, S, ...) stacked episodes 1-D, task axis over ALL
+    devices — the layout for plain jitted (GSPMD-propagated) steps.
 
-    Note: sharding the shot axis *simultaneously* (P("task", "dp"))
-    currently trips a check-failure in XLA's convolution SPMD partitioner
-    (convolution_handler) for the vmapped encoder convs, so episodes
-    shard 1-D over tasks; use all devices on the task axis for
-    meta-training and on ``dp`` for joint training."""
+    A true 2-D (task over ``task``, shots over ``dp``) layout through
+    GSPMD trips a check-failure in XLA's convolution SPMD partitioner
+    (convolution_handler) whenever a device holds more than one task and
+    the shot axis is sharded; use
+    ``parallel.shard_meta.make_sharded_maml_step`` +
+    ``shard_task_batch_2d`` for that layout — its shard_map body never
+    exposes the convs to the partitioner."""
     return NamedSharding(mesh, P(("task", "dp")))
 
 

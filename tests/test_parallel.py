@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh."""
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,3 +115,222 @@ def test_tacotron_forward_sharded_batch(mesh):
             batch["speaker_vecs"],
         )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (task × dp) sharding via shard_map (parallel/shard_meta.py)
+# ---------------------------------------------------------------------------
+
+from msa_tts_tpu.parallel.shard_meta import (  # noqa: E402
+    make_sharded_maml_step,
+    shard_task_batch_2d,
+)
+
+
+def _episode_quad(K, S, seed=0):
+    targets = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((K, S, 2)),
+        dtype=jnp.float32,
+    )
+    return {"target": targets}
+
+
+@pytest.mark.parametrize("dp,task", [(2, 4), (4, 2), (1, 8), (8, 1)])
+@pytest.mark.parametrize("second_order", [True, False])
+def test_sharded_maml_2d_matches_single_device(dp, task, second_order):
+    """The shard_map 2-D (task, dp) MAML step must match the unsharded
+    step numerically — including the shapes where GSPMD's conv
+    partitioner crashes (task-local shard > 1 with shots sharded)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh2 = make_mesh(dp=dp, task=task)
+    K, S = 8, 8  # K_loc = 8/task (can be > 1), S_loc = 8/dp
+
+    ref_step = make_maml_step(
+        quad_loss, optax.sgd(0.1), optax.sgd(1.0), n_inner=2,
+        second_order=second_order, remat=False,
+    )
+    sh_step = make_sharded_maml_step(
+        quad_loss, optax.sgd(0.1), optax.sgd(1.0), 2, mesh2,
+        second_order=second_order, remat=False,
+    )
+
+    w0 = jnp.asarray([3.0, -1.0])
+    support = _episode_quad(K, S, seed=0)
+    query = {"target": _episode_quad(K, S, seed=1)["target"] + 0.5}
+
+    def mkstate():
+        return TrainState(
+            params={"w": w0}, model_state={},
+            opt_state=optax.sgd(1.0).init({"w": w0}), step=0,
+        )
+
+    ref_out, ref_m = jax.jit(ref_step)(
+        mkstate(), support, query, jax.random.PRNGKey(0)
+    )
+    with mesh2:
+        sup = shard_task_batch_2d(support, mesh2)
+        qry = shard_task_batch_2d(query, mesh2)
+        st = replicate_state(mkstate(), mesh2)
+        sh_out, sh_m = jax.jit(sh_step)(
+            st, sup, qry, jax.random.PRNGKey(0)
+        )
+    np.testing.assert_allclose(
+        np.asarray(sh_out.params["w"]), np.asarray(ref_out.params["w"]),
+        rtol=1e-5,
+    )
+    assert float(sh_m.loss) == pytest.approx(float(ref_m.loss), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sh_m.task_losses), np.asarray(ref_m.task_losses),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_m.inner_losses), np.asarray(ref_m.inner_losses),
+        rtol=1e-5,
+    )
+
+
+def test_sharded_maml_2d_full_model_crash_shape(mesh):
+    """Full Tacotron2 meta step at the exact shape that crashes the
+    GSPMD conv partitioner (dp=2, task=4, K=8, S=2 → task-local shard
+    2 with shots sharded).  shard_map must compile and produce finite
+    loss."""
+    import __graft_entry__ as g
+    from msa_tts_tpu.models import tacotron2nv_forward
+    from msa_tts_tpu.models.loss import tacotron2_loss
+
+    cfg, params, state = g._tiny_model()
+
+    def loss_fn(p, ms, batch, rng):
+        outs, new_ms = tacotron2nv_forward(
+            p, ms, cfg, batch["inputs"], batch["input_lengths"],
+            batch["melspecs"], batch["melspec_lengths"],
+            batch["speaker_vecs"], rng, train=True,
+        )
+        loss = tacotron2_loss(
+            tuple(outs), (batch["melspecs"], batch["stop_labels"]),
+            batch["melspec_lengths"], reduction="none", pos_weight=1.0,
+        )
+        return loss, new_ms
+
+    step = make_sharded_maml_step(
+        loss_fn, optax.sgd(1e-2), optax.adam(1e-3), 1, mesh,
+        second_order=True, clip_thresh=1.0,
+    )
+    K, S, T_in, T_mel = 8, 2, 12, 16
+    inputs, in_len, mels, mel_len, spk, stop = g._batch(
+        cfg, B=K * S, T_in=T_in, T_mel=T_mel, seed=0
+    )
+    episode = {
+        "inputs": inputs.reshape(K, S, T_in),
+        "input_lengths": in_len.reshape(K, S),
+        "melspecs": mels.reshape(K, S, cfg.n_mel_channels, T_mel),
+        "melspec_lengths": mel_len.reshape(K, S),
+        "speaker_vecs": spk.reshape(K, S, -1),
+        "stop_labels": stop.reshape(K, S, T_mel),
+    }
+    tstate = TrainState(
+        params=params, model_state=state,
+        opt_state=optax.adam(1e-3).init(params), step=0,
+    )
+    with mesh:
+        tstate = replicate_state(tstate, mesh)
+        sup = shard_task_batch_2d(episode, mesh)
+        qry = shard_task_batch_2d(episode, mesh)
+        new_state, metrics = jax.jit(step)(
+            tstate, sup, qry, jax.random.PRNGKey(0)
+        )
+        jax.block_until_ready(new_state.params)
+    assert np.isfinite(float(metrics.loss))
+    assert metrics.task_losses.shape == (K,)
+
+
+def test_2d_gspmd_crash_documented():
+    """Documents WHY shard_meta.py exists: a plain jitted (GSPMD) meta
+    step with episodes device_put at P("task", "dp") and >1 task per
+    task-shard fatally aborts XLA's convolution SPMD partitioner
+    (convolution_handler.cc Check failure).  Runs in a subprocess since
+    the failure is a C++ abort, not an exception.
+
+    If this test starts FAILING (the child exits 0), the XLA bug is
+    fixed — consider re-enabling the pure-GSPMD 2-D layout in
+    parallel/sharding.py and retiring the shard_map detour."""
+    import os
+    import subprocess
+    import textwrap
+
+    child = textwrap.dedent("""
+        import os
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+            " --xla_force_host_platform_device_count=8"
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import __graft_entry__ as ge
+        from msa_tts_tpu.meta.maml import make_maml_step
+        from msa_tts_tpu.models import tacotron2nv_forward
+        from msa_tts_tpu.models.loss import tacotron2_loss
+        from msa_tts_tpu.optim import TrainState
+        from msa_tts_tpu.parallel import make_mesh, replicate_state
+
+        cfg, params, state = ge._tiny_model()
+
+        def loss_fn(p, ms, batch, rng):
+            outs, new_ms = tacotron2nv_forward(
+                p, ms, cfg, batch["inputs"], batch["input_lengths"],
+                batch["melspecs"], batch["melspec_lengths"],
+                batch["speaker_vecs"], rng, train=True)
+            loss = tacotron2_loss(
+                tuple(outs), (batch["melspecs"], batch["stop_labels"]),
+                batch["melspec_lengths"], reduction="none", pos_weight=1.0)
+            return loss, new_ms
+
+        step = make_maml_step(
+            loss_fn, optax.sgd(1e-2), optax.adam(1e-3), n_inner=1,
+            second_order=True, clip_thresh=1.0)
+        K, S, T_in, T_mel = 8, 2, 12, 16
+        mesh = make_mesh(dp=2, task=4)
+        sh = NamedSharding(mesh, P("task", "dp"))
+
+        def episode(seed):
+            i, il, m, ml, sv, st = ge._batch(
+                cfg, B=K * S, T_in=T_in, T_mel=T_mel, seed=seed)
+            return {
+                "inputs": i.reshape(K, S, T_in),
+                "input_lengths": il.reshape(K, S),
+                "melspecs": m.reshape(K, S, cfg.n_mel_channels, T_mel),
+                "melspec_lengths": ml.reshape(K, S),
+                "speaker_vecs": sv.reshape(K, S, -1),
+                "stop_labels": st.reshape(K, S, T_mel),
+            }
+
+        ts = TrainState(params=params, model_state=state,
+                        opt_state=optax.adam(1e-3).init(params), step=0)
+        with mesh:
+            ts = replicate_state(ts, mesh)
+            sup = {k: jax.device_put(v, sh) for k, v in episode(1).items()}
+            qry = {k: jax.device_put(v, sh) for k, v in episode(2).items()}
+            ns, _ = jax.jit(step)(ts, sup, qry, jax.random.PRNGKey(0))
+            jax.block_until_ready(ns.params)
+        print("GSPMD 2-D OK")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = flags
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", child], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0, (
+        "XLA's conv partitioner now accepts the 2-D GSPMD layout "
+        "(child printed: %s) — the shard_map workaround in "
+        "parallel/shard_meta.py may be retirable." % proc.stdout
+    )
+    assert "convolution_handler" in proc.stderr or "Check failed" in (
+        proc.stderr
+    ), f"child died for an unexpected reason:\n{proc.stderr[-2000:]}"
