@@ -139,10 +139,18 @@ def init_melresnet(rng, cfg: WaveRNNConfig):
 def init_wavernn(rng, cfg: WaveRNNConfig):
     ks = jax.random.split(rng, 8)
     resnet_p, resnet_s = init_melresnet(ks[0], cfg)
-    up_convs = [
-        {"weight": jnp.full((1, 1, 2 * s + 1), 1.0 / (2 * s + 1))}
-        for s in cfg.upsample_factors
-    ]
+    if cfg.use_upsample_net:
+        assert int(np.prod(cfg.upsample_factors)) == cfg.hop_length, (
+            "upsample_factors must multiply to hop_length "
+            f"({cfg.upsample_factors} vs {cfg.hop_length})"
+        )
+        up_convs = [
+            {"weight": jnp.full((1, 1, 2 * s + 1), 1.0 / (2 * s + 1))}
+            for s in cfg.upsample_factors
+        ]
+    else:
+        # reference Upsample (modules.py:95-115) has no conv pyramid
+        up_convs = []
     in_extra = cfg.aux_dims if cfg.use_aux_net else 0
     params = {
         "upsample": {"resnet": resnet_p, "up_convs": up_convs},
@@ -189,10 +197,48 @@ def _stretch_time(x, scale: int):
     return jnp.repeat(x, scale, axis=-1)
 
 
+def _linear_interp_time(x, scale: int):
+    """Linear interpolation along the last axis to ``T·scale`` samples,
+    torch ``F.interpolate(mode='linear', align_corners=True)`` semantics
+    (output grid spans exactly [0, T−1])."""
+    T = x.shape[-1]
+    T_out = T * scale
+    coords = jnp.arange(T_out, dtype=x.dtype) * (
+        (T - 1) / max(T_out - 1, 1)
+    )
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, T - 1)
+    frac = (coords - i0.astype(x.dtype))[
+        (None,) * (x.ndim - 1) + (slice(None),)
+    ]
+    return x[..., i0] * (1.0 - frac) + x[..., i1] * frac
+
+
 def upsample_apply(params, state, cfg: WaveRNNConfig, mels, *,
                    train: bool = False):
     """mels: (B, n_mels, T) (already pad-extended by cfg.pad on both
-    sides) → (mels_up (B, T'·hop, n_mels), aux (B, T'·hop, 4·aux))."""
+    sides) → (mels_up (B, T'·hop, n_mels), aux (B, T'·hop, 4·aux)).
+
+    ``use_upsample_net=True``: learned stretch+mean-filter pyramid with
+    nearest-neighbor-stretched resnet aux (reference modules.py:61-93).
+    ``use_upsample_net=False``: the reference's basic ``Upsample``
+    (modules.py:95-115) — linear interpolation by ``hop_length`` with
+    align_corners, trim ``pad·hop`` from both ends, scale by the
+    empirical 0.045; aux linearly interpolated, untrimmed."""
+    if not cfg.use_upsample_net:
+        scale = cfg.hop_length
+        aux = None
+        if cfg.use_aux_net:
+            aux = melresnet_apply(
+                params["resnet"], state["resnet"], mels, train=train
+            )
+            aux = _linear_interp_time(aux, scale)
+            aux = jnp.swapaxes(aux, 1, 2)
+        indent = cfg.pad * scale
+        m = _linear_interp_time(mels, scale)[:, :, indent:-indent]
+        m = m * 0.045
+        return jnp.swapaxes(m, 1, 2), aux
+
     total_scale = int(np.prod(cfg.upsample_factors))
     aux = None
     if cfg.use_aux_net:

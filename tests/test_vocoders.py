@@ -217,3 +217,121 @@ def test_denoiser_reduces_noise():
     tone_after = band_energy(out, 400, 480)
     assert noise_band_after < 0.05 * noise_band_before
     assert tone_after > 0.08 * tone_before
+
+
+@pytest.mark.parametrize("use_aux_net", [True, False])
+def test_wavernn_basic_upsample_matches_torch(use_aux_net):
+    """use_upsample_net=False path vs the reference's basic ``Upsample``
+    (linear interpolation, align_corners, 0.045 scale —
+    msa_tts/utils/wavernn/modules.py:95-115)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from msa_tts.utils.wavernn.modules import Upsample
+    except Exception:
+        pytest.skip("reference wavernn modules not importable")
+
+    cfg = W.WaveRNNConfig(
+        mode="MOL", n_mels=20, rnn_dims=24, fc_dims=24, compute_dims=16,
+        res_out_dims=16, res_blocks=2, hop_length=32, sample_rate=8000,
+        pad=2, upsample_factors=(4, 8), use_upsample_net=False,
+        use_aux_net=use_aux_net,
+    )
+    ref = Upsample(
+        scale=cfg.hop_length, pad=cfg.pad, res_blocks=cfg.res_blocks,
+        feat_dims=cfg.n_mels, compute_dims=cfg.compute_dims,
+        res_out_dims=cfg.res_out_dims, use_aux_net=use_aux_net,
+    ).eval()
+
+    params, state = W.init_wavernn(jax.random.PRNGKey(0), cfg)
+    # copy the torch resnet weights into our pytree so aux matches
+    if use_aux_net:
+        fake = {f"upsample.{k}": v.detach().numpy()
+                for k, v in ref.state_dict().items()
+                if k.startswith("resnet")}
+        import numpy as _np
+
+        def g(k):
+            return jnp.asarray(_np.asarray(fake[k], _np.float32))
+
+        rn = "upsample.resnet"
+        bn_p = {"weight": g(f"{rn}.batch_norm.weight"),
+                "bias": g(f"{rn}.batch_norm.bias")}
+        bn_s = {"running_mean": g(f"{rn}.batch_norm.running_mean"),
+                "running_var": g(f"{rn}.batch_norm.running_var")}
+        layers, layer_states = [], []
+        i = 0
+        while f"{rn}.layers.{i}.conv1.weight" in fake:
+            layers.append({
+                "conv1": {"weight": g(f"{rn}.layers.{i}.conv1.weight")},
+                "conv2": {"weight": g(f"{rn}.layers.{i}.conv2.weight")},
+                "batch_norm1": {
+                    "weight": g(f"{rn}.layers.{i}.batch_norm1.weight"),
+                    "bias": g(f"{rn}.layers.{i}.batch_norm1.bias")},
+                "batch_norm2": {
+                    "weight": g(f"{rn}.layers.{i}.batch_norm2.weight"),
+                    "bias": g(f"{rn}.layers.{i}.batch_norm2.bias")},
+            })
+            layer_states.append({
+                "batch_norm1": {
+                    "running_mean":
+                        g(f"{rn}.layers.{i}.batch_norm1.running_mean"),
+                    "running_var":
+                        g(f"{rn}.layers.{i}.batch_norm1.running_var")},
+                "batch_norm2": {
+                    "running_mean":
+                        g(f"{rn}.layers.{i}.batch_norm2.running_mean"),
+                    "running_var":
+                        g(f"{rn}.layers.{i}.batch_norm2.running_var")},
+            })
+            i += 1
+        params["upsample"]["resnet"] = {
+            "conv_in": {"weight": g(f"{rn}.conv_in.weight")},
+            "batch_norm": bn_p,
+            "layers": layers,
+            "conv_out": {"weight": g(f"{rn}.conv_out.weight"),
+                         "bias": g(f"{rn}.conv_out.bias")},
+        }
+        state["upsample"]["resnet"] = {
+            "batch_norm": bn_s, "layers": layer_states,
+        }
+
+    T_mel = 12
+    mels = np.random.default_rng(0).standard_normal(
+        (1, cfg.n_mels, T_mel)
+    ).astype(np.float32)
+    with torch.no_grad():
+        m_ref, aux_ref = ref(torch.from_numpy(mels))
+    m_jax, aux_jax = W.upsample_apply(
+        params["upsample"], state["upsample"], cfg,
+        jnp.asarray(mels), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_jax), m_ref.numpy(), atol=1e-5
+    )
+    if use_aux_net:
+        np.testing.assert_allclose(
+            np.asarray(aux_jax), aux_ref.numpy(), atol=1e-4
+        )
+    else:
+        assert aux_jax is None and aux_ref is None
+
+
+def test_wavernn_basic_upsample_generate(rng):
+    """End-to-end generation with use_upsample_net=False produces the
+    contract-length waveform."""
+    cfg = W.WaveRNNConfig(
+        mode="MOL", n_mels=20, rnn_dims=24, fc_dims=24, compute_dims=16,
+        res_out_dims=16, res_blocks=2, hop_length=32, sample_rate=8000,
+        pad=2, upsample_factors=(4, 8), use_upsample_net=False,
+    )
+    voc = W.WaveRNN(cfg=cfg, rng=rng)
+    T_mel = 10
+    mels = np.random.default_rng(1).standard_normal(
+        (1, cfg.n_mels, T_mel)
+    ).astype(np.float32)
+    wav = voc.generate(mels, batched=False, rng=rng, verbose=False)
+    assert wav.shape == ((T_mel - 1) * cfg.hop_length,)
+    assert np.isfinite(wav).all()
