@@ -24,6 +24,8 @@ import shutil
 import subprocess
 
 from .char_list import CHAR_TO_ID, PAD, PUNCTUATIONS, char_list
+from .festival import FestivalBackend
+from .punctuation import Punctuation
 
 # Matches espeak "language switch" flags such as "(en)" that appear when the
 # engine switches voice mid-utterance; the reference removes them
@@ -149,20 +151,6 @@ class SegmentsBackend:
         return " ".join(out)
 
 
-def _split_keep_punctuation(text: str):
-    """Split ``text`` into (chunk, trailing punctuation) pairs."""
-    pattern = re.compile(f"([{re.escape(PUNCTUATIONS)}])")
-    parts = pattern.split(text)
-    pairs = []
-    i = 0
-    while i < len(parts):
-        chunk = parts[i]
-        punct = parts[i + 1] if i + 1 < len(parts) else ""
-        pairs.append((chunk.strip(), punct))
-        i += 2
-    return [(c, p) for c, p in pairs if c or p]
-
-
 class Grapheme2Phoneme:
     """Text/phoneme to index-sequence converter over the IPA vocabulary."""
 
@@ -171,8 +159,13 @@ class Grapheme2Phoneme:
         self.char_list = char_list
         self.char_to_id = CHAR_TO_ID
         self.id_to_char = {i: c for c, i in CHAR_TO_ID.items()}
+        # the reference preserves exactly the vocabulary's punctuation
+        # marks (grapheme2phoneme.py:22 punctuation_marks=_punctuations)
+        self._punct = Punctuation(PUNCTUATIONS)
         if backend == "espeak":
             self.backend = EspeakBackend()
+        elif backend == "festival":
+            self.backend = FestivalBackend()
         elif backend == "fallback":
             self.backend = FallbackBackend()
         elif backend == "segments":
@@ -189,12 +182,19 @@ class Grapheme2Phoneme:
     # ------------------------------------------------------------------ text
     def text_to_phone(self, text: str, language: str = "en-us",
                       with_stress: bool = True) -> str:
-        """Phonemize free text, preserving punctuation marks."""
-        pieces = []
-        for chunk, punct in _split_keep_punctuation(text):
-            ph = self.backend.phonemize_chunk(chunk, language) if chunk else ""
-            pieces.append(ph + punct)
-        phones = " ".join(p for p in pieces if p)
+        """Phonemize free text, preserving punctuation marks with the
+        reference pipeline's hide→phonemize→restore protocol
+        (phonemizer_api/backend/base.py:91-133): each chunk is
+        phonemized with a trailing word separator (strip=False), then
+        the marks — including their original surrounding whitespace —
+        are spliced back, so punctuation lands space-separated exactly
+        as the reference emits it."""
+        chunks, marks = self._punct.preserve([text])
+        phonemized = [
+            self.backend.phonemize_chunk(c, language) + " " for c in chunks
+        ]
+        restored = Punctuation.restore(phonemized, marks)
+        phones = "\n".join(restored)
         if not with_stress:
             phones = "".join(c for c in phones if c not in _STRESS_CHARS)
         return phones
