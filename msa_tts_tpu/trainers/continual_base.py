@@ -16,6 +16,7 @@ with a seeded RNG.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 import random
@@ -248,6 +249,97 @@ class ContinualTrainerBase(TrainerBase):
             pickle.dump(self.cumutest_dict, f)
         print("-" * 30 + "\n")
 
+    # ------------------------------------------------------------ resume
+    # The reference only leaves per-task ``best_{itr}_{spk}`` checkpoints
+    # behind (continual_er.py:185-187) — a dead multi-hour stream restarts
+    # from speaker 0.  Here the full stream state (position, replay
+    # buffer, RNGs, cumutest matrix, train state incl. optimizer) is
+    # persisted after every task, and ``resume: true`` restarts at task k
+    # bit-identically (tested in test_continual_trainers.py).
+
+    _STREAM_STATE = "stream_state.pkl"
+    _STREAM_CKPT = "stream_last.ckpt"
+
+    def _stream_extras(self) -> dict:
+        """Method-specific picklable stream state.  The replay buffer is
+        serialized as (item_id, soft_mel) pairs — items are re-bound to
+        the feature cache on restore (EWC's Fisher needs no saving: it is
+        recomputed at task start from the restored buffer + params)."""
+        extras = {}
+        if hasattr(self, "buffer"):
+            extras["buffer"] = [
+                (it.item_id, it.soft_mel) for it in self.buffer
+            ]
+        return extras
+
+    def _restore_stream_extras(self, extras: dict) -> None:
+        if "buffer" in extras:
+            by_id = {it.item_id: it for it in self.dataset_train_all.items}
+            buf = []
+            for item_id, soft_mel in extras["buffer"]:
+                it = by_id[item_id]
+                if soft_mel is not None:
+                    it = dataclasses.replace(
+                        it, soft_mel=np.asarray(soft_mel)
+                    )
+                buf.append(it)
+            self.buffer = buf
+
+    def _save_stream_state(self, next_spk_itr: int, rng) -> None:
+        self._save_checkpoint(self._STREAM_CKPT)
+        payload = {
+            "next_spk_itr": next_spk_itr,
+            "all_speakers": self.all_speakers,
+            "speakers_so_far": self.speakers_so_far,
+            "cumutest_dict": self.cumutest_dict,
+            "step_global": self.step_global,
+            "rng": np.asarray(rng),
+            "buffer_rng": self._buffer_rng,
+            "extras": self._stream_extras(),
+        }
+        path = os.path.join(
+            self.path_manager.checkpoints_path, self._STREAM_STATE
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+
+    def _try_resume(self):
+        """Returns ``(next_spk_itr, rng)`` when resuming, else None."""
+        if not self.params.get("resume", False):
+            return None
+        path = os.path.join(
+            self.path_manager.checkpoints_path, self._STREAM_STATE
+        )
+        if not os.path.exists(path):
+            print("resume requested but no stream state found; "
+                  "starting fresh")
+            return None
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        if d["all_speakers"] != self.all_speakers:
+            raise ValueError(
+                "stream state speaker order does not match this config "
+                "(speaker_seed / speakers_list changed?)"
+            )
+        self.restore(
+            os.path.join(
+                self.path_manager.checkpoints_path, self._STREAM_CKPT
+            )
+        )
+        self.step_global = int(d["step_global"])
+        self.speakers_so_far = list(d["speakers_so_far"])
+        self.cumutest_dict = dict(d["cumutest_dict"])
+        self._buffer_rng = d["buffer_rng"]
+        self._restore_stream_extras(d["extras"])
+        rng = jax.numpy.asarray(d["rng"])
+        print(
+            f"Resuming continual stream at task {d['next_spk_itr']} "
+            f"(step {self.step_global})"
+        )
+        return d["next_spk_itr"], rng
+
     # ------------------------------------------------------------- hooks
     def _reset_optimizer(self, speaker: str | None = None):
         """Fresh optimizer per task (reference re-inits per speaker)."""
@@ -277,16 +369,24 @@ class ContinualTrainerBase(TrainerBase):
         self.speakers_so_far: list[str] = []
         self.cumutest_dict: dict = {}
         rng = jax.random.PRNGKey(self.params.get("train_seed", 1234))
-
         num_initial = self.params.get("num_initial_speakers", 0)
-        if num_initial > 0:
-            initial_speakers = self.all_speakers[:num_initial]
-            items = self._initial_task_items(initial_speakers)
-            rng, k = jax.random.split(rng)
-            self._train_task(initial_speakers[0], 0, items, k)
-            self._save_checkpoint(f"best_0_{initial_speakers[0]}.ckpt")
+
+        resumed = self._try_resume()
+        if resumed is not None:
+            start_itr, rng = resumed
+        else:
+            start_itr = num_initial
+            if num_initial > 0:
+                initial_speakers = self.all_speakers[:num_initial]
+                items = self._initial_task_items(initial_speakers)
+                rng, k = jax.random.split(rng)
+                self._train_task(initial_speakers[0], 0, items, k)
+                self._save_checkpoint(f"best_0_{initial_speakers[0]}.ckpt")
+                self._save_stream_state(num_initial, rng)
 
         for spk_itr, speaker in enumerate(self.all_speakers, num_initial):
+            if spk_itr < start_itr:
+                continue
             self.speakers_so_far.append(speaker)
             self._reset_optimizer(speaker)
             items = self._task_train_items(speaker, spk_itr)
@@ -295,3 +395,4 @@ class ContinualTrainerBase(TrainerBase):
             self._save_checkpoint(f"best_{spk_itr}_{speaker}.ckpt")
             self._post_task(speaker, spk_itr)
             self._test_cumulative(speaker, spk_itr, k2)
+            self._save_stream_state(spk_itr + 1, rng)

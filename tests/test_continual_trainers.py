@@ -196,3 +196,88 @@ def test_er_with_initial_finetune(corpus):
     assert len(names) == 4  # 1 initial + 3 stream tasks
     # buffer seeded during the initial phase, grown by each stream task
     assert len(t.buffer) == 2 * 4
+
+
+def test_er_stream_resume_bit_identical(corpus, tmp_path):
+    """Kill an ER stream entering task 2, resume, and require the same
+    cumutest matrix and final parameters as an uninterrupted run."""
+    from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
+
+    def load_cumu(trainer):
+        pkl = os.path.join(
+            trainer.path_manager.examples_path, "cumutest.pkl"
+        )
+        with open(pkl, "rb") as f:
+            return pickle.load(f)
+
+    # --- uninterrupted reference run
+    p_full = _cl_params(
+        corpus, "continual_er", output_path=str(tmp_path / "full")
+    )
+    t_full = ExperienceReplayTrainer(**p_full)
+    t_full.run()
+    cumu_full = load_cumu(t_full)
+
+    # --- run that dies entering task 2 (after task 1's boundary save)
+    p_int = _cl_params(
+        corpus, "continual_er", output_path=str(tmp_path / "resumed")
+    )
+
+    class Preempted(ExperienceReplayTrainer):
+        def _task_train_items(self, speaker, spk_itr):
+            if spk_itr == 2:
+                raise RuntimeError("simulated preemption")
+            return super()._task_train_items(speaker, spk_itr)
+
+    with pytest.raises(RuntimeError, match="preemption"):
+        Preempted(**p_int).run()
+
+    # --- resume in a fresh process-equivalent (new trainer object)
+    t_res = ExperienceReplayTrainer(**dict(p_int, resume=True))
+    t_res.run()
+    cumu_res = load_cumu(t_res)
+
+    assert set(cumu_res.keys()) == set(cumu_full.keys())
+    for k in cumu_full:
+        assert cumu_res[k]["speaker"] == cumu_full[k]["speaker"]
+        for spk, loss in cumu_full[k]["losses"].items():
+            assert cumu_res[k]["losses"][spk] == pytest.approx(
+                loss, rel=0, abs=0
+            ), f"task {k} speaker {spk}"
+
+    # final parameters bit-identical
+    import jax
+
+    leaves_full = jax.tree_util.tree_leaves(t_full.train_state.params)
+    leaves_res = jax.tree_util.tree_leaves(t_res.train_state.params)
+    for a, b in zip(leaves_full, leaves_res):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # buffer restored to the same contents (ids + growth after task 2)
+    assert [it.item_id for it in t_res.buffer] == [
+        it.item_id for it in t_full.buffer
+    ]
+
+
+def test_resume_rejects_changed_speaker_order(corpus, tmp_path):
+    from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
+
+    p = _cl_params(
+        corpus, "continual_er", output_path=str(tmp_path / "order")
+    )
+    t = ExperienceReplayTrainer(**p)
+    t.run()
+    # find a seed whose shuffle really differs from speaker_seed=11's
+    import random
+
+    base = list(p["dataset_train"]["speakers_list"])
+    ref_order = list(base)
+    random.Random(11).shuffle(ref_order)
+    seed = next(
+        s for s in range(100, 200)
+        if (lambda o: (random.Random(s).shuffle(o), o)[1])(list(base))
+        != ref_order
+    )
+    p2 = dict(p, resume=True, speaker_seed=seed)
+    with pytest.raises(ValueError, match="speaker order"):
+        ExperienceReplayTrainer(**p2).run()
