@@ -2,6 +2,7 @@ from .mesh import make_mesh, single_device_mesh
 from .shard_meta import (
     episode_sharding_2d,
     make_sharded_maml_step,
+    make_sharded_reptile_step,
     shard_task_batch_2d,
 )
 from .sharding import (
@@ -21,6 +22,7 @@ __all__ = [
     "episode_sharding_2d",
     "jit_with_mesh",
     "make_sharded_maml_step",
+    "make_sharded_reptile_step",
     "replicate_state",
     "replicated",
     "shard_batch",

@@ -188,3 +188,93 @@ def make_sharded_maml_step(
         return mapped(state, support, query, rng)
 
     return maml_step
+
+
+def make_sharded_reptile_step(
+    loss_fn: Callable,
+    inner_tx: optax.GradientTransformation,
+    outer_tx: optax.GradientTransformation,
+    n_inner: int,
+    mesh: Mesh,
+    *,
+    clip_thresh: float | None = None,
+    remat: bool = False,
+):
+    """2-D (task × dp) sharded *batched-mode* Reptile step via shard_map
+    — same contract as ``meta.reptile.make_reptile_step(mode="batched")``
+    with episodes placed by ``shard_task_batch_2d``.
+
+    Sequential-mode Reptile (the reference-order variant,
+    msa_tts/reptile.py:73-77) applies the outer update between tasks and
+    is inherently serial in the task axis; only its shot axis can shard.
+    The batched variant is the one that scales across the mesh.
+
+    All-first-order math: inner grads pmean over ``dp`` (identical
+    adapted params on every dp shard), per-task query loss pmean over
+    ``dp``, directions mean over local tasks then pmean over ``task``.
+    """
+    from ..meta.reptile import ReptileMetrics
+
+    adapt = make_adapt_fn(
+        loss_fn, inner_tx, n_inner, remat=remat, grad_pmean_axis="dp"
+    )
+
+    def task_direction(params, model_state, support_i, query_i, rng_i):
+        k_adapt, k_query = jax.random.split(rng_i)
+        adapted, ms, inner_losses = adapt(
+            params, model_state, support_i, k_adapt
+        )
+        adapted = jax.lax.stop_gradient(adapted)
+        qloss, _ = loss_fn(adapted, ms, query_i, k_query)
+        direction = jax.tree_util.tree_map(
+            lambda p0, pT: p0 - pT, params, adapted
+        )
+        return direction, jax.lax.pmean(qloss, "dp"), inner_losses
+
+    def local_step(state: TrainState, support, query, rng):
+        K_loc = jax.tree_util.tree_leaves(support)[0].shape[0]
+        t_idx = jax.lax.axis_index("task")
+        keys_all = jax.random.split(rng, K_loc * mesh.shape["task"])
+        keys = jax.lax.dynamic_slice_in_dim(
+            keys_all, t_idx * K_loc, K_loc
+        )
+
+        directions, qlosses, inner = jax.vmap(
+            task_direction, in_axes=(None, None, 0, 0, 0)
+        )(state.params, state.model_state, support, query, keys)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(jnp.mean(g, axis=0), "task"),
+            directions,
+        )
+        loss = jax.lax.pmean(jnp.mean(qlosses), "task")
+
+        if clip_thresh is not None:
+            grads, grad_norm = clip_by_global_norm(grads, clip_thresh)
+        else:
+            from ..meta.grad_utils import global_norm
+
+            grad_norm = global_norm(grads)
+        updates, new_opt_state = outer_tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, ReptileMetrics(loss, qlosses, inner, grad_norm)
+
+    ep = P("task", "dp")
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), ep, ep, P()),
+        out_specs=(P(), ReptileMetrics(P(), P("task"), P("task"), P())),
+        check_vma=False,
+    )
+
+    def reptile_step(state, support, query, rng):
+        return mapped(state, support, query, rng)
+
+    return reptile_step

@@ -334,3 +334,199 @@ def test_2d_gspmd_crash_documented():
     assert "convolution_handler" in proc.stderr or "Check failed" in (
         proc.stderr
     ), f"child died for an unexpected reason:\n{proc.stderr[-2000:]}"
+
+
+# ---------------------------------------------------------------------------
+# Broader trainer-family coverage on the mesh
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dp,task", [(2, 4), (4, 2)])
+def test_sharded_reptile_2d_matches_single_device(dp, task):
+    """Batched-mode Reptile: 2-D shard_map step vs the unsharded step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from msa_tts_tpu.meta.reptile import make_reptile_step
+    from msa_tts_tpu.parallel.shard_meta import make_sharded_reptile_step
+
+    mesh2 = make_mesh(dp=dp, task=task)
+    K, S = 8, 8
+    ref_step = make_reptile_step(
+        quad_loss, optax.sgd(0.1), optax.sgd(0.5), n_inner=2,
+        mode="batched", remat=False,
+    )
+    sh_step = make_sharded_reptile_step(
+        quad_loss, optax.sgd(0.1), optax.sgd(0.5), 2, mesh2, remat=False,
+    )
+    w0 = jnp.asarray([2.0, -3.0])
+    support = _episode_quad(K, S, seed=4)
+    query = {"target": _episode_quad(K, S, seed=5)["target"] + 0.3}
+
+    def mkstate():
+        return TrainState(
+            params={"w": w0}, model_state={},
+            opt_state=optax.sgd(0.5).init({"w": w0}), step=0,
+        )
+
+    ref_out, ref_m = jax.jit(ref_step)(
+        mkstate(), support, query, jax.random.PRNGKey(0)
+    )
+    with mesh2:
+        sup = shard_task_batch_2d(support, mesh2)
+        qry = shard_task_batch_2d(query, mesh2)
+        st = replicate_state(mkstate(), mesh2)
+        sh_out, sh_m = jax.jit(sh_step)(
+            st, sup, qry, jax.random.PRNGKey(0)
+        )
+    np.testing.assert_allclose(
+        np.asarray(sh_out.params["w"]), np.asarray(ref_out.params["w"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_m.task_losses), np.asarray(ref_m.task_losses),
+        rtol=1e-5,
+    )
+
+
+def _tacotron_loss_fn(cfg):
+    from msa_tts_tpu.models import tacotron2nv_forward
+    from msa_tts_tpu.models.loss import tacotron2_loss
+
+    def loss_fn(p, ms, batch, rng):
+        outs, new_ms = tacotron2nv_forward(
+            p, ms, cfg, batch["inputs"], batch["input_lengths"],
+            batch["melspecs"], batch["melspec_lengths"],
+            batch["speaker_vecs"], rng, train=True,
+        )
+        loss = tacotron2_loss(
+            tuple(outs), (batch["melspecs"], batch["stop_labels"]),
+            batch["melspec_lengths"], reduction="none", pos_weight=1.0,
+        )
+        return loss, new_ms
+
+    return loss_fn
+
+
+def _joint_batch(cfg, B, seed=0):
+    import __graft_entry__ as g
+
+    inputs, in_len, mels, mel_len, spk, stop = g._batch(
+        cfg, B=B, T_in=12, T_mel=16, seed=seed
+    )
+    return {
+        "inputs": inputs, "input_lengths": in_len, "melspecs": mels,
+        "melspec_lengths": mel_len, "speaker_vecs": spk,
+        "stop_labels": stop,
+    }
+
+
+def test_joint_full_train_step_sharded_matches_single(mesh):
+    """Full joint training step (loss + grads + adam update), batch
+    data-parallel over all 8 devices, vs unsharded — same jitted
+    program, so identical rng/dropout; only reduction order may differ."""
+    import __graft_entry__ as g
+
+    cfg, params, state = g._tiny_model()
+    loss_fn = _tacotron_loss_fn(cfg)
+    # sgd, not adam: at step 1 adam's update is ~lr*sign(g), so a
+    # reduction-order difference of 1e-8 on a near-zero gradient flips
+    # the whole update — that's optimizer noise, not sharding error
+    tx = optax.sgd(1e-2)
+
+    def step(tstate, batch, rng):
+        def lf(p):
+            return loss_fn(p, tstate.model_state, batch, rng)[0]
+
+        loss, grads = jax.value_and_grad(lf)(tstate.params)
+        updates, new_opt = tx.update(grads, tstate.opt_state, tstate.params)
+        new_params = optax.apply_updates(tstate.params, updates)
+        return tstate._replace(params=new_params, opt_state=new_opt), loss
+
+    batch = _joint_batch(cfg, B=8, seed=7)
+    mkstate = lambda: TrainState(
+        params=params, model_state=state,
+        opt_state=tx.init(params), step=0,
+    )
+    ref_out, ref_loss = jax.jit(step)(
+        mkstate(), batch, jax.random.PRNGKey(0)
+    )
+    with mesh:
+        st = replicate_state(mkstate(), mesh)
+        sharded = shard_batch(batch, mesh)
+        sh_out, sh_loss = jax.jit(step)(
+            st, sharded, jax.random.PRNGKey(0)
+        )
+    assert float(sh_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_out.params),
+        jax.tree_util.tree_leaves(sh_out.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg="sharded joint step diverged",
+        )
+
+
+def test_ewc_grad_sq_sharded_matches_single(mesh):
+    """EWC's Fisher accumulator (per-batch squared grads) with the
+    buffer batch sharded over the mesh vs unsharded."""
+    import __graft_entry__ as g
+
+    cfg, params, state = g._tiny_model()
+    loss_fn = _tacotron_loss_fn(cfg)
+
+    def grad_sq(p, ms, batch, rng):
+        def lf(pp):
+            return loss_fn(pp, ms, batch, rng)[0]
+
+        grads = jax.grad(lf)(p)
+        return jax.tree_util.tree_map(lambda x: x * x, grads)
+
+    batch = _joint_batch(cfg, B=8, seed=9)
+    ref = jax.jit(grad_sq)(params, state, batch, jax.random.PRNGKey(3))
+    with mesh:
+        p_r = replicate_state(params, mesh)
+        s_r = replicate_state(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        out = jax.jit(grad_sq)(p_r, s_r, sharded, jax.random.PRNGKey(3))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_infer_sharded_batch_matches_single(mesh):
+    """Autoregressive synthesis with the batch sharded over all devices
+    must reproduce the single-device output exactly (deterministic at
+    train=False apart from the always-on prenet dropout, which depends
+    only on rng + global shapes — both unchanged under GSPMD)."""
+    from msa_tts_tpu.models import tacotron2nv_infer
+    import __graft_entry__ as g
+
+    cfg, params, state = g._tiny_model()
+    B = 8
+    inputs, in_len, _, _, spk, _ = g._batch(cfg, B=B, seed=11)
+
+    def run(p, s, i, il, sv):
+        mel, lens, align = tacotron2nv_infer(
+            p, s, cfg, i, il, sv, jax.random.PRNGKey(5)
+        )
+        return mel, lens
+
+    mel_ref, len_ref = jax.jit(run)(params, state, inputs, in_len, spk)
+    with mesh:
+        sh = shard_batch(
+            {"inputs": inputs, "input_lengths": in_len,
+             "speaker_vecs": spk}, mesh,
+        )
+        p_r = replicate_state(params, mesh)
+        s_r = replicate_state(state, mesh)
+        mel_s, len_s = jax.jit(run)(
+            p_r, s_r, sh["inputs"], sh["input_lengths"],
+            sh["speaker_vecs"],
+        )
+    np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_ref))
+    np.testing.assert_allclose(
+        np.asarray(mel_s), np.asarray(mel_ref), atol=2e-5
+    )
