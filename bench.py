@@ -95,13 +95,45 @@ def _episode_np(seed: int):
 
 # ---------------------------------------------------------------- JAX side
 
-def run_jax(n_steps: int = 4) -> dict:
+# TPU v5e (v5 lite) single-chip peak: ~197 TFLOP/s bf16, ~98.5 fp32.
+V5E_PEAK_FLOPS = {"bf16": 197e12, "fp32": 98.5e12}
+
+
+def _flops_per_step(jitted, *args) -> float | None:
+    """XLA's own FLOP estimate for one compiled step (analytic ceiling
+    for the MFU figure); None when the backend doesn't report it."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _model_cfg(r: int = 1):
+    from msa_tts_tpu.models import config_from_params
+
+    mp = dict(MODEL_DIMS)
+    mp.update(
+        n_symbols=N_SYMBOLS,
+        n_mel_channels=N_MELS,
+        num_speakers=1,
+        n_frames_per_step=r,
+        attention_params=dict(ATTN),
+        decoder_no_early_stopping=False,
+        scan_unroll=SCAN_UNROLL,
+    )
+    return config_from_params(mp)
+
+
+def run_jax(n_steps: int = 4, r: int = 1, want_mfu: bool = False) -> dict:
     import jax
     import optax
 
     from msa_tts_tpu.meta.maml import make_maml_step
     from msa_tts_tpu.models import (
-        config_from_params,
         init_tacotron2nv,
         tacotron2nv_forward,
     )
@@ -111,16 +143,7 @@ def run_jax(n_steps: int = 4) -> dict:
     import jax.numpy as jnp
 
     bf16 = BF16 and "--fp32" not in sys.argv
-    mp = dict(MODEL_DIMS)
-    mp.update(
-        n_symbols=N_SYMBOLS,
-        n_mel_channels=N_MELS,
-        num_speakers=1,
-        attention_params=dict(ATTN),
-        decoder_no_early_stopping=False,
-        scan_unroll=SCAN_UNROLL,
-    )
-    cfg = config_from_params(mp)
+    cfg = _model_cfg(r)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
 
     def loss_fn(p, ms, batch, rng):
@@ -166,6 +189,13 @@ def run_jax(n_steps: int = 4) -> dict:
     # compile + warmup.  NOTE: timing forces a device→host transfer of
     # the loss each step — on the axon relay, block_until_ready returns
     # before execution completes, so only a transfer is a true sync.
+    flops = (
+        _flops_per_step(
+            step_jit, tstate, support, query, jax.random.PRNGKey(0)
+        )
+        if want_mfu else None
+    )
+
     t0 = time.time()
     tstate, metrics = step_jit(tstate, support, query, jax.random.PRNGKey(0))
     float(metrics.loss)
@@ -178,13 +208,137 @@ def run_jax(n_steps: int = 4) -> dict:
         )
         float(metrics.loss)
     dt = (time.time() - t0) / n_steps
-    return {
+    out = {
         "sec_per_step": dt,
         "frames_per_sec": FRAMES_PER_STEP / dt,
         "compile_sec": compile_s,
         "loss": float(metrics.loss),
         "device": str(jax.devices()[0]),
     }
+    if flops:
+        peak = V5E_PEAK_FLOPS["bf16" if bf16 else "fp32"]
+        out["flops_per_step"] = flops
+        out["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        out["mfu_vs_v5e_peak"] = round(flops / dt / peak, 4)
+    return out
+
+
+def run_jax_joint(n_steps: int = 6) -> dict:
+    """Joint-trainer throughput: one jitted supervised step (forward +
+    grads + adam) at batch B = K·S on the same model dims."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msa_tts_tpu.models import init_tacotron2nv, tacotron2nv_forward
+    from msa_tts_tpu.models.loss import tacotron2_loss
+    from msa_tts_tpu.optim import TrainState
+
+    bf16 = BF16 and "--fp32" not in sys.argv
+    cfg = _model_cfg()
+    params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+    def loss_fn(p, ms, batch, rng):
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), p
+            )
+            batch = dict(
+                batch,
+                melspecs=batch["melspecs"].astype(jnp.bfloat16),
+                speaker_vecs=batch["speaker_vecs"].astype(jnp.bfloat16),
+            )
+        outs, new_ms = tacotron2nv_forward(
+            p, ms, cfg,
+            batch["inputs"], batch["input_lengths"],
+            batch["melspecs"], batch["melspec_lengths"],
+            batch["speaker_vecs"], rng, train=True,
+        )
+        loss = tacotron2_loss(
+            tuple(o.astype(jnp.float32) for o in outs),
+            (batch["melspecs"].astype(jnp.float32), batch["stop_labels"]),
+            batch["melspec_lengths"],
+            reduction="none", pos_weight=1.0,
+        )
+        return loss, new_ms
+
+    def step(tstate, batch, rng):
+        def lf(p):
+            return loss_fn(p, tstate.model_state, batch, rng)
+
+        (loss, new_ms), grads = jax.value_and_grad(lf, has_aux=True)(
+            tstate.params
+        )
+        updates, new_opt = tx.update(grads, tstate.opt_state, tstate.params)
+        new_params = optax.apply_updates(tstate.params, updates)
+        return (
+            TrainState(new_params, new_ms, new_opt, tstate.step + 1),
+            loss,
+        )
+
+    step_jit = jax.jit(step, donate_argnums=(0,))
+    ep = _episode_np(1)
+    B = K * S
+    batch = jax.device_put({
+        k: v.reshape((B,) + v.shape[2:]) for k, v in ep.items()
+    })
+    tstate = TrainState(params, state, tx.init(params), 0)
+
+    t0 = time.time()
+    tstate, loss = step_jit(tstate, batch, jax.random.PRNGKey(0))
+    float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for i in range(n_steps):
+        tstate, loss = step_jit(tstate, batch, jax.random.PRNGKey(i + 1))
+        float(loss)
+    dt = (time.time() - t0) / n_steps
+    frames = B * T_MEL
+    return {
+        "sec_per_step": dt,
+        "frames_per_sec": frames / dt,
+        "compile_sec": compile_s,
+        "loss": float(loss),
+    }
+
+
+def recompile_audit(n_utts: int = 512, seed: int = 0) -> dict:
+    """Bucketing study, host-side: how many DISTINCT padded shapes (→
+    XLA recompiles) does a realistic utterance-length distribution
+    produce under the dataloader's pad-to-multiple policy?  Lengths are
+    drawn from an LJSpeech-like log-normal (mean ~6.5 s, σ ~0.45) with
+    proportional text lengths."""
+    rng = np.random.default_rng(seed)
+    dur = np.clip(rng.lognormal(np.log(6.0), 0.45, n_utts), 1.0, 14.0)
+    t_mel = (dur * 22050 / 256).astype(int)          # hop 256
+    t_in = np.maximum((t_mel * 0.28).astype(int), 8)  # ~phonemes/frame
+
+    def shapes(text_mult, mel_mult):
+        pad = lambda x, m: (x + m - 1) // m * m
+        return {
+            (int(pad(a, text_mult)), int(pad(b, mel_mult)))
+            for a, b in zip(t_in, t_mel)
+        }
+
+    policies = {
+        "no_padding": (1, 1),
+        "default (16, 32)": (16, 32),
+        "coarse (32, 128)": (32, 128),
+        "pow2-ish (64, 256)": (64, 256),
+    }
+    out = {}
+    for name, (tm, mm) in policies.items():
+        s = shapes(tm, mm)
+        out[name] = {
+            "distinct_shapes": len(s),
+            "mean_mel_pad_overhead": round(
+                float(np.mean([
+                    ((t + mm - 1) // mm * mm) / t - 1.0 for t in t_mel
+                ])), 4,
+            ),
+        }
+    return {"n_utterances": n_utts, "policies": out}
 
 
 # -------------------------------------------------------------- torch side
@@ -299,6 +453,37 @@ def run_torch_reference(n_steps: int = 2) -> dict:
 
 
 def main():
+    if "--recompile-audit" in sys.argv:
+        print(json.dumps(recompile_audit(), indent=2))
+        return
+    if "--joint" in sys.argv:
+        result = run_jax_joint()
+        print(json.dumps({
+            "metric": "joint_train_mel_frames_per_sec",
+            "value": round(result["frames_per_sec"], 1),
+            "unit": "frames/s",
+            "sec_per_step": round(result["sec_per_step"], 4),
+        }))
+        return
+    if "--r2" in sys.argv:
+        result = run_jax(r=2)
+        print(json.dumps({
+            "metric": "meta_train_mel_frames_per_sec_r2",
+            "value": round(result["frames_per_sec"], 1),
+            "unit": "frames/s",
+            "sec_per_step": round(result["sec_per_step"], 4),
+        }))
+        return
+    if "--mfu" in sys.argv:
+        result = run_jax(want_mfu=True)
+        print(json.dumps({
+            "metric": "meta_train_mfu",
+            "frames_per_sec": round(result["frames_per_sec"], 1),
+            "flops_per_step": result.get("flops_per_step"),
+            "achieved_tflops": result.get("achieved_tflops"),
+            "mfu_vs_v5e_peak": result.get("mfu_vs_v5e_peak"),
+        }))
+        return
     if "--measure-baseline" in sys.argv:
         result = run_torch_reference()
         with open(BASELINE_PATH, "w") as f:

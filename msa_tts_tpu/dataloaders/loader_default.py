@@ -58,6 +58,13 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def skip_epoch(self) -> None:
+        """Advance the (stateful) sampler by one epoch without loading
+        data — preemption resume uses this to fast-forward the shuffle
+        order to the interrupted epoch."""
+        for _ in self.sampler:
+            pass
+
     def __iter__(self) -> Iterator[Batch]:
         buf = []
         for idx in self.sampler:

@@ -116,6 +116,22 @@ class MetaDataLoader:
             )
         return out
 
+    def skip_epoch(self) -> None:
+        """Advance the sampling RNG by exactly one epoch's draws without
+        building episodes — used by preemption resume to fast-forward a
+        restored trainer to the interrupted epoch's data order."""
+        order = self._rng.permutation(len(self.speakers))
+        for i in order:
+            spk = self.speakers[i]
+            for ds in (self.ds_support, self.ds_query):
+                pool_n = len(ds.items_for_speaker(spk))
+                n = min(pool_n, self.shots)
+                self._rng.choice(pool_n, size=n, replace=False)
+                if n < self.shots:
+                    self._rng.choice(
+                        pool_n, size=self.shots - n, replace=True
+                    )
+
     def __iter__(self) -> Iterator[dict[str, dict[str, Batch]]]:
         order = self._rng.permutation(len(self.speakers))
         for start in range(0, len(order), self.meta_batch_size):

@@ -1,4 +1,14 @@
-"""Fused LSTM-cell Pallas TPU kernel.
+"""Fused LSTM-cell Pallas TPU kernel — RETIRED from the hot path.
+
+Measured on TPU v5e (benchmarks/pallas_lstm.py, B=16, H=1024, 400-step
+scan, bit-identical checksums across all variants):
+
+    xla/fp32 66.1 us/step | xla/bf16 76.1 | pallas/fp32 101.7 | pallas/bf16 100.8
+
+XLA's own fusion wins at this shape even against the bf16-weight
+variant, so the model uses the XLA path (ops/rnn.py) and this kernel
+lives in experimental/ as a correctness-tested starting point for
+future shapes where a hand-written kernel might pay off.
 
 One kernel per decoder step fuses the recurrent matmul (MXU) with the
 gate nonlinearities and state update (VPU), so the (B, 4H) gate
@@ -44,8 +54,11 @@ def _kernel(x_proj_ref, h_ref, c_ref, w_ref, h_out_ref, c_out_ref):
       h_out/c_out: (B, HB)
       c:      (B, HB)    — previous cell state slice
     """
+    # cast h to the weights' dtype (bf16-weight variant halves the HBM
+    # weight traffic, the bandwidth floor of the step); accumulate f32
     gates = x_proj_ref[:] + jnp.dot(
-        h_ref[:], w_ref[:], preferred_element_type=jnp.float32
+        h_ref[:].astype(w_ref.dtype), w_ref[:],
+        preferred_element_type=jnp.float32,
     )
     hb = h_out_ref.shape[1]
     i = jax.nn.sigmoid(gates[:, :hb])
@@ -149,7 +162,10 @@ def fused_lstm_cell(
 
 def lstm_cell_reference(x_proj, h, c, w_hh_t):
     """XLA fallback with identical math (used off-TPU)."""
-    gates = x_proj + h @ w_hh_t
+    gates = x_proj + jax.lax.dot(
+        h.astype(w_hh_t.dtype), w_hh_t,
+        preferred_element_type=jnp.float32,
+    )
     H = h.shape[1]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H : 2 * H])

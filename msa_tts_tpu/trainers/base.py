@@ -282,6 +282,57 @@ class TrainerBase:
             )
             self.train_state = self.train_state._replace(params=new_params)
 
+    # ------------------------------------------------- preemption resume
+    # Epoch-granular auto-resume for the epoch-loop trainers (baseline /
+    # MAML / Reptile): the latest full-fidelity state plus a sidecar with
+    # the epoch counter is persisted at every checkpoint interval, and
+    # ``resume: true`` skips the completed epochs while replaying the rng
+    # splits so the remaining stream is identical to an uninterrupted
+    # run.  (The reference has no resume at all; its checkpoints are
+    # params-only, msa_tts/baseline.py:150-158.)
+
+    _AUTO_CKPT = "auto_resume.ckpt"
+    _AUTO_STATE = "auto_resume_state.pkl"
+
+    def _save_epoch_state(self, epoch: int, extra: dict | None = None):
+        import pickle
+
+        self._save_checkpoint(self._AUTO_CKPT)
+        path = os.path.join(
+            self.path_manager.checkpoints_path, self._AUTO_STATE
+        )
+        payload = {"epoch": epoch, "step_global": self.step_global}
+        payload.update(extra or {})
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+
+    def _try_resume_epoch(self):
+        """Returns ``(completed_epochs, sidecar_dict | None)``."""
+        import pickle
+
+        if not self.params.get("resume", False):
+            return 0, None
+        state_path = os.path.join(
+            self.path_manager.checkpoints_path, self._AUTO_STATE
+        )
+        ckpt_path = os.path.join(
+            self.path_manager.checkpoints_path, self._AUTO_CKPT
+        )
+        if not (os.path.exists(state_path) and os.path.exists(ckpt_path)):
+            print("resume requested but no auto-resume state found; "
+                  "starting fresh")
+            return 0, None
+        with open(state_path, "rb") as f:
+            d = pickle.load(f)
+        self.restore(ckpt_path)
+        self.step_global = int(d["step_global"])
+        print(
+            f"Resuming after epoch {d['epoch']} (step {self.step_global})"
+        )
+        return int(d["epoch"]), d
+
     def restore(self, path: str):
         """Full-fidelity resume (params + optimizer + step)."""
         raw = load_checkpoint(path)

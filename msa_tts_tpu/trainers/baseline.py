@@ -86,12 +86,30 @@ class JointTrainer(TrainerBase):
         self.step_global = 0
         self.best_test_loss = float("inf")
         rng = jax.random.PRNGKey(self.params.get("train_seed", 1234))
+        done, extra = self._try_resume_epoch()
+        if extra is not None:
+            self.best_test_loss = extra.get(
+                "best_test_loss", float("inf")
+            )
         for epoch in range(1, self.params["n_epochs"] + 1):
+            # advance the rng stream even for skipped epochs so the
+            # resumed run draws the same keys as an uninterrupted one
             rng, k_train, k_test, k_meta = jax.random.split(rng, 4)
+            if epoch <= done:
+                # keep the stateful samplers aligned with the data order
+                # an uninterrupted run would have seen
+                self.dataloader_train.skip_epoch()
+                if self.params.get("do_metatest", False) and epoch % \
+                        self.params.get("metatest_epoch_interval", 1) == 0:
+                    self.dataloader_metatest.skip_epoch()
+                continue
             self._train(epoch, k_train)
             self._test(epoch, k_test)
             if epoch % self.params.get("ckpt_save_epoch_interval", 1) == 0:
                 self._save_checkpoint()
+                self._save_epoch_state(
+                    epoch, {"best_test_loss": self.best_test_loss}
+                )
             if self.params.get("do_metatest", False):
                 if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                     print("Meta-test phase ...")

@@ -41,11 +41,19 @@ class MAML(MetaTrainer):
     def run(self):
         self.step_global = 0
         rng = jax.random.PRNGKey(self.params.get("train_seed", 1234))
+        done, _ = self._try_resume_epoch()
         for epoch in range(1, self.params["n_epochs"] + 1):
             rng, k_train, k_meta = jax.random.split(rng, 3)
+            if epoch <= done:
+                self.dataloader_metatrain.skip_epoch()
+                if epoch % self.params.get(
+                        "metatest_epoch_interval", 1) == 0:
+                    self.dataloader_metatest.skip_epoch()
+                continue
             self._metatrain(epoch, k_train)
             if epoch % self.params.get("ckpt_save_epoch_interval", 1) == 0:
                 self._save_checkpoint()
+                self._save_epoch_state(epoch)
             if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                 print("Meta-test phase ...")
                 self._metatest(epoch, k_meta)

@@ -428,69 +428,178 @@ def xfade_and_unfold(y: np.ndarray, target: int, overlap: int) -> np.ndarray:
     return unfolded
 
 
+def _mm(x, w):
+    """x @ w.T with the inputs cast to the WEIGHT's dtype and the
+    accumulation forced to f32 — the sample loop is weight-bandwidth
+    bound (±15 MB of GRU/FC weights re-read from HBM every timestep),
+    so bf16 weights halve the per-step floor while fp32 accumulation
+    keeps the gate math stable."""
+    return jax.lax.dot_general(
+        x.astype(w.dtype), w,
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gru_cell_mm(p, x, h):
+    """GRU step (torch gate order r, z, n) via _mm; gates in f32."""
+    gi = _mm(x, p["weight_ih"]) + p["bias_ih"]
+    gh = _mm(h, p["weight_hh"]) + p["bias_hh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def cast_generation_params(params, dtype):
+    """Cast the sample-loop weight MATRICES to ``dtype`` (biases and the
+    one-shot upsample network stay f32).  Returns a new pytree; the
+    original full-precision params are untouched (training/export keep
+    using them)."""
+    if dtype is None:
+        return params
+    out = dict(params)
+    for name in ("I", "rnn1", "rnn2", "fc1", "fc2", "fc3"):
+        layer = dict(params[name])
+        for k in ("weight", "weight_ih", "weight_hh"):
+            if k in layer:
+                layer[k] = jnp.asarray(layer[k], dtype)
+        out[name] = layer
+    return out
+
+
 def _make_generate_scan(cfg: WaveRNNConfig):
+    """Build the jitted ``run(params, mels_up, aux, rng) -> samples``.
+
+    Two structural optimizations over a naive per-step port
+    (reference loop: msa_tts/utils/wavernn/wavernn.py:123-166):
+
+      * the conditioning part of the input projection ``I`` does not
+        depend on the generated sample, so it is hoisted out of the scan
+        as ONE (B·T, F) matmul (MXU-shaped) — inside the scan only the
+        rank-1 sample column remains;
+      * all in-scan matmuls run at the weights' dtype (bf16 via
+        ``cast_generation_params``) with f32 accumulation.
+    """
     d = cfg.aux_dims
 
-    def step(params, carry, inputs):
+    def step(params, w_x, carry, inputs):
         x, h1, h2 = carry
-        m_t, a_t, key = inputs
-        if cfg.use_aux_net:
-            a1, a2, a3, a4 = (
-                a_t[:, i * d : (i + 1) * d] for i in range(4)
-            )
-            inp = jnp.concatenate([x, m_t, a1], axis=1)
-        else:
-            inp = jnp.concatenate([x, m_t], axis=1)
-        z = N.linear(params["I"], inp)
-        h1 = R.gru_cell(params["rnn1"], z, h1)
+        i_static_t, a_t, n1_t, n2_t = inputs
+        # z = I(concat(x, cond)) with the cond half precomputed
+        z = i_static_t + x * w_x  # (B,1)·(rnn,) → (B, rnn)
+        h1 = _gru_cell_mm(params["rnn1"], z, h1)
         z = z + h1
         inp2 = (
-            jnp.concatenate([z, a2], axis=1) if cfg.use_aux_net else z
+            jnp.concatenate([z, a_t[:, :d]], axis=1)
+            if cfg.use_aux_net else z
         )
-        h2 = R.gru_cell(params["rnn2"], inp2, h2)
+        h2 = _gru_cell_mm(params["rnn2"], inp2, h2)
         z = z + h2
-        z = jnp.concatenate([z, a3], axis=1) if cfg.use_aux_net else z
-        z = jax.nn.relu(N.linear(params["fc1"], z))
-        z = jnp.concatenate([z, a4], axis=1) if cfg.use_aux_net else z
-        z = jax.nn.relu(N.linear(params["fc2"], z))
-        logits = N.linear(params["fc3"], z)
+        if cfg.use_aux_net:
+            z = jnp.concatenate([z, a_t[:, d : 2 * d]], axis=1)
+        z = jax.nn.relu(_mm(z, params["fc1"]["weight"])
+                        + params["fc1"]["bias"])
+        if cfg.use_aux_net:
+            z = jnp.concatenate([z, a_t[:, 2 * d :]], axis=1)
+        z = jax.nn.relu(_mm(z, params["fc2"]["weight"])
+                        + params["fc2"]["bias"])
+        logits = _mm(z, params["fc3"]["weight"]) + params["fc3"]["bias"]
         if cfg.mode == "MOL":
-            sample = sample_from_discretized_mix_logistic(logits, key)
+            sample = _sample_mol_noise(logits, n1_t, n2_t)
         elif cfg.mode == "GAUSS":
-            sample = sample_from_gaussian(logits, key)
+            mean = logits[:, 0]
+            log_std = jnp.maximum(logits[:, 1], -7.0)
+            sample = jnp.clip(mean + jnp.exp(log_std) * n1_t, -1.0, 1.0)
         else:
             raise ValueError(cfg.mode)
         return (sample[:, None], h1, h2), sample
 
     def run(params, mels_up, aux, rng):
         B, T, _ = mels_up.shape
-        keys = jax.random.split(rng, T)
-        mels_tm = jnp.swapaxes(mels_up, 0, 1)  # (T, B, F)
-        aux_tm = (
-            jnp.swapaxes(aux, 0, 1)
-            if aux is not None
-            else jnp.zeros((T, B, 0))
-        )
+        W_I = params["I"]["weight"]  # (rnn, 1 + F [+ d])
+        w_x = W_I[:, 0].astype(jnp.float32)
+        if cfg.use_aux_net:
+            static_in = jnp.concatenate([mels_up, aux[:, :, :d]], axis=2)
+            a_rest = aux[:, :, d:]
+        else:
+            static_in = mels_up
+            a_rest = jnp.zeros((B, T, 0))
+        # hoisted conditioning projection: one large batched matmul
+        i_static = _mm(static_in, W_I[:, 1:]) + params["I"]["bias"]
+
+        # sampling noise is independent of the autoregression, so the
+        # PRNG work (≈40% of a step's time) is hoisted into two big
+        # vectorized draws; inside the scan sampling is gather+arithmetic
+        noise1, noise2 = _generation_noise(cfg, rng, T, B)
         carry = (
             jnp.zeros((B, 1)),
             jnp.zeros((B, cfg.rnn_dims)),
             jnp.zeros((B, cfg.rnn_dims)),
         )
         _, samples = jax.lax.scan(
-            lambda c, i: step(params, c, i), carry, (mels_tm, aux_tm, keys)
+            lambda c, i: step(params, w_x, c, i),
+            carry,
+            (
+                jnp.swapaxes(i_static, 0, 1),
+                jnp.swapaxes(a_rest, 0, 1),
+                noise1,
+                noise2,
+            ),
         )
         return jnp.swapaxes(samples, 0, 1)  # (B, T)
 
     return run
 
 
+def _generation_noise(cfg: WaveRNNConfig, rng, T: int, B: int):
+    """Per-step sampling noise, drawn in two vectorized calls.
+
+    MOL: (gumbel (T,B,K) for mixture selection, logistic (T,B) for the
+    sample); GAUSS: (standard normal (T,B), zeros)."""
+    if cfg.mode == "MOL":
+        K = cfg.n_classes // 3
+        k1, k2 = jax.random.split(rng)
+        u1 = jax.random.uniform(
+            k1, (T, B, K), minval=1e-5, maxval=1.0 - 1e-5
+        )
+        u2 = jax.random.uniform(
+            k2, (T, B), minval=1e-5, maxval=1.0 - 1e-5
+        )
+        gumbel = -jnp.log(-jnp.log(u1))
+        logistic = jnp.log(u2) - jnp.log1p(-u2)
+        return gumbel, logistic
+    if cfg.mode == "GAUSS":
+        eps = jax.random.normal(rng, (T, B))
+        return eps, jnp.zeros((T, B))
+    raise ValueError(cfg.mode)
+
+
+def _sample_mol_noise(logits, gumbel, logistic,
+                      log_scale_min=LOG_SCALE_MIN):
+    """MoL sample from pre-drawn noise: logits (B, 3K), gumbel (B, K),
+    logistic (B,) → samples (B,) in [−1, 1]."""
+    K = logits.shape[-1] // 3
+    sel = jnp.argmax(logits[:, :K] + gumbel, axis=-1)
+    onehot = jax.nn.one_hot(sel, K)
+    mean = jnp.sum(logits[:, K : 2 * K] * onehot, axis=-1)
+    log_scale = jnp.maximum(
+        jnp.sum(logits[:, 2 * K :] * onehot, axis=-1), log_scale_min
+    )
+    return jnp.clip(mean + jnp.exp(log_scale) * logistic, -1.0, 1.0)
+
+
 class WaveRNN:
     """Reference-API vocoder wrapper with jitted batched generation."""
 
     def __init__(self, params=None, state=None, cfg: WaveRNNConfig = None,
-                 rng=None, **ref_params):
+                 rng=None, gen_dtype: str | None = "bfloat16",
+                 **ref_params):
         if cfg is None:
             cfg = config_from_params(**ref_params)
+            gen_dtype = ref_params.get("gen_dtype", gen_dtype)
         self.cfg = cfg
         if params is None:
             params, state = init_wavernn(
@@ -498,10 +607,64 @@ class WaveRNN:
             )
         self.params = params
         self.state = state
+        # low-precision twin of the sample-loop weights (see
+        # cast_generation_params); full-precision self.params is what
+        # training/export continue to see
+        self._gen_params = cast_generation_params(
+            params, jnp.dtype(gen_dtype) if gen_dtype else None
+        )
         self._run = jax.jit(_make_generate_scan(cfg))
         self._upsample = jax.jit(
             lambda p, s, m: upsample_apply(p, s, cfg, m, train=False)
         )
+        # jitted upsample→fold→scan pipelines keyed by (target, overlap);
+        # jax.jit caches per input shape underneath
+        self._pipelines: dict = {}
+
+    def _folded_pipeline(self, target: int, overlap: int):
+        """Whole batched-generation pipeline as ONE device program.
+
+        Folding on the host (reference wavernn.py:211-252 does, and so
+        did round 1) downloads the upsampled conditioning (~120 MB for
+        6 s of audio) and re-uploads it folded — on the axon relay that
+        host↔device round trip costs ~15× the sample scan itself.  Here
+        the fold is a device-side gather; the host only uploads the raw
+        mel (~0.2 MB) and downloads the samples (~0.5 MB)."""
+        key = (target, overlap)
+        if key in self._pipelines:
+            return self._pipelines[key]
+        cfg = self.cfg
+        scan_run = _make_generate_scan(cfg)
+
+        def fold(x):  # (1, T, F) → (n_pad_folds, target+2·overlap, F)
+            T = x.shape[1]
+            L = target + 2 * overlap
+            num_folds = (T - overlap) // (target + overlap)
+            extended = num_folds * (overlap + target) + overlap
+            if T - extended != 0:
+                num_folds += 1
+            n_pad = -(-num_folds // 4) * 4  # fold-count bucketing
+            last_start = (n_pad - 1) * (target + overlap)
+            pad_T = max(last_start + L - T, 0)
+            flat = jnp.pad(x[0], ((0, pad_T), (0, 0)))
+            idx = (
+                np.arange(n_pad)[:, None] * (target + overlap)
+                + np.arange(L)[None, :]
+            )
+            return flat[jnp.asarray(idx)], num_folds
+
+        def pipeline(up_params, up_state, gen_params, mels, rng):
+            mels_up, aux = upsample_apply(
+                up_params, up_state, cfg, mels, train=False
+            )
+            folded, num_folds = fold(mels_up)
+            aux_folded = fold(aux)[0] if aux is not None else None
+            samples = scan_run(gen_params, folded, aux_folded, rng)
+            return samples, num_folds
+
+        fn = jax.jit(pipeline)
+        self._pipelines[key] = fn
+        return fn
 
     def generate(self, mels, batched: bool = True, target: int = 11_000,
                  overlap: int = 550, rng=None, verbose: bool = True):
@@ -519,40 +682,20 @@ class WaveRNN:
         wave_len = (mels.shape[-1] - 1) * cfg.hop_length
         # pad mels on both sides (reference pad_tensor 'both')
         mels = jnp.pad(mels, ((0, 0), (0, 0), (cfg.pad, cfg.pad)))
-        mels_up, aux = self._upsample(
-            self.params["upsample"], self.state["upsample"], mels
-        )
-        mels_np = np.asarray(mels_up)
-        aux_np = np.asarray(aux) if aux is not None else None
-        n_folds = None
-        if batched:
-            mels_np = fold_with_overlap(mels_np, target, overlap)
-            if aux_np is not None:
-                aux_np = fold_with_overlap(aux_np, target, overlap)
-            # Pad the fold axis to a multiple so (folds, seq) shapes are
-            # drawn from a small set → XLA compiles the sample scan once
-            # per (target, overlap) instead of once per utterance length.
-            n_folds = mels_np.shape[0]
-            pad_to = -(-n_folds // 4) * 4
-            if pad_to != n_folds:
-                mels_np = np.pad(
-                    mels_np, ((0, pad_to - n_folds), (0, 0), (0, 0))
-                )
-                if aux_np is not None:
-                    aux_np = np.pad(
-                        aux_np, ((0, pad_to - n_folds), (0, 0), (0, 0))
-                    )
         t0 = time.time()
-        samples = np.asarray(
-            self._run(
-                self.params,
-                jnp.asarray(mels_np),
-                jnp.asarray(aux_np) if aux_np is not None else None,
-                rng,
+        if batched:
+            samples, n_folds = self._folded_pipeline(target, overlap)(
+                self.params["upsample"], self.state["upsample"],
+                self._gen_params, mels, rng,
             )
-        ).astype(np.float64)
-        if n_folds is not None:
-            samples = samples[:n_folds]
+            samples = np.asarray(samples).astype(np.float64)[:int(n_folds)]
+        else:
+            mels_up, aux = self._upsample(
+                self.params["upsample"], self.state["upsample"], mels
+            )
+            samples = np.asarray(
+                self._run(self._gen_params, mels_up, aux, rng)
+            ).astype(np.float64)
         if verbose:
             n = samples.size
             rate_khz = n / max(time.time() - t0, 1e-9) / 1000.0

@@ -224,3 +224,60 @@ def test_reptile_trainer_runs(corpus):
     trainer.run()
     losses = _losses(trainer)
     assert losses and np.isfinite(losses).all()
+
+
+def test_maml_resume_bit_identical(tmp_path):
+    """MAML epoch-level preemption resume reproduces the uninterrupted
+    run's final parameters exactly."""
+    import jax
+    import numpy as np
+    from msa_tts_tpu.dataloaders.synthetic import (
+        make_synthetic_corpus,
+        synthetic_params,
+    )
+    from msa_tts_tpu.trainers.maml import MAML
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=3, utterances_per_speaker=3, seed=2,
+        min_dur=0.25, max_dur=0.4,
+    )
+
+    def mkparams(out):
+        params = synthetic_params(
+            root, n_speakers=3, batch_size=2,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            method="maml", experiment_name="maml_resume",
+            n_epochs=4, n_shots_train=2, n_shots_test=2,
+            meta_batch_size=3, n_inner_train=1, n_inner_test=1,
+            track_higher_grads=False, maml_remat=False,
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, metatest_epoch_interval=100,
+            ckpt_save_epoch_interval=1,
+            output_path=str(tmp_path / out),
+        )
+        return params
+
+    t_full = MAML(**mkparams("full"))
+    t_full.run()
+
+    class Preempted(MAML):
+        def _metatrain(self, epoch, rng):
+            if epoch == 3:
+                raise RuntimeError("simulated preemption")
+            super()._metatrain(epoch, rng)
+
+    p_int = mkparams("resumed")
+    with pytest.raises(RuntimeError, match="preemption"):
+        Preempted(**p_int).run()
+    t_res = MAML(**dict(p_int, resume=True))
+    t_res.run()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_full.train_state.params),
+        jax.tree_util.tree_leaves(t_res.train_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t_res.step_global == t_full.step_global

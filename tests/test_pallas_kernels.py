@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from msa_tts_tpu.ops import rnn as R
-from msa_tts_tpu.ops.pallas.lstm_cell import (
+from msa_tts_tpu.experimental.pallas_lstm_cell import (
     fused_lstm_cell,
     lstm_cell_reference,
     prepare_weights,

@@ -107,3 +107,53 @@ def test_params_snapshot_written(trained):
             trainer.path_manager.output_path, "dataset_details.txt"
         )
     )
+
+
+def test_joint_resume_bit_identical(tmp_path):
+    """Kill joint training entering epoch 3 of 4, resume, and require the
+    final parameters to match an uninterrupted 4-epoch run exactly."""
+    import jax
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=4, seed=1,
+        min_dur=0.25, max_dur=0.4,
+    )
+
+    def mkparams(out):
+        params = synthetic_params(
+            root, n_speakers=2, batch_size=2, n_epochs=4,
+            do_metatest=False,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, output_path=str(tmp_path / out),
+            ckpt_save_epoch_interval=1,
+        )
+        return params
+
+    t_full = JointTrainer(**mkparams("full"))
+    t_full.run()
+
+    class Preempted(JointTrainer):
+        def _train(self, epoch, rng):
+            if epoch == 3:
+                raise RuntimeError("simulated preemption")
+            super()._train(epoch, rng)
+
+    p_int = mkparams("resumed")
+    with pytest.raises(RuntimeError, match="preemption"):
+        Preempted(**p_int).run()
+    t_res = JointTrainer(**dict(p_int, resume=True))
+    t_res.run()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_full.train_state.params),
+        jax.tree_util.tree_leaves(t_res.train_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert t_res.step_global == t_full.step_global
+    assert t_res.best_test_loss == pytest.approx(
+        t_full.best_test_loss, rel=0, abs=0
+    )

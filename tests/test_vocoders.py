@@ -335,3 +335,61 @@ def test_wavernn_basic_upsample_generate(rng):
     wav = voc.generate(mels, batched=False, rng=rng, verbose=False)
     assert wav.shape == ((T_mel - 1) * cfg.hop_length,)
     assert np.isfinite(wav).all()
+
+
+def test_wavernn_scan_matches_teacher_forced_forward(rng):
+    """The generation scan (hoisted conditioning projection, _mm-based
+    cells) must be exactly the same function as the batched
+    teacher-forced forward when fed its own samples — this pins the
+    hoisting/casting refactor to the reference computation."""
+    voc = W.WaveRNN(cfg=TINY_WRNN, rng=rng, gen_dtype=None)
+    cfg = TINY_WRNN
+    T_mel = 8
+    mels = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (1, cfg.n_mels, T_mel)
+        ).astype(np.float32)
+    )
+    mels_p = jnp.pad(mels, ((0, 0), (0, 0), (cfg.pad, cfg.pad)))
+    mels_up, aux = voc._upsample(
+        voc.params["upsample"], voc.state["upsample"], mels_p
+    )
+    gen_rng = jax.random.PRNGKey(42)
+    samples = np.asarray(
+        voc._run(voc._gen_params, mels_up, aux, gen_rng)
+    )[0]
+    T = samples.shape[0]
+
+    # teacher-forced forward with the scan's own sample history
+    x_prev = jnp.asarray(
+        np.concatenate([[0.0], samples[:-1]]).astype(np.float32)
+    )[None]
+    logits = W.wavernn_forward(
+        voc.params, voc.state, cfg, x_prev, mels_p, train=False
+    )
+    gumbel, logistic = W._generation_noise(cfg, gen_rng, T, 1)
+    resampled = jax.vmap(
+        lambda lg, g, lo: W._sample_mol_noise(lg[None], g, lo)[0]
+    )(logits[0], gumbel[:, 0:1], logistic[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(resampled), samples, atol=1e-4,
+        err_msg="scan diverges from the batched forward",
+    )
+
+
+def test_wavernn_bf16_generation_close_to_fp32(rng):
+    """bf16-weight generation must produce a waveform in range with the
+    same contract length; first samples should track fp32 closely (the
+    autoregressive paths may diverge later by sampling)."""
+    mels = np.random.default_rng(5).standard_normal(
+        (1, TINY_WRNN.n_mels, 10)
+    ).astype(np.float32)
+    v32 = W.WaveRNN(cfg=TINY_WRNN, rng=rng, gen_dtype=None)
+    v16 = W.WaveRNN(cfg=TINY_WRNN, rng=rng, gen_dtype="bfloat16")
+    w32 = v32.generate(mels, batched=False,
+                       rng=jax.random.PRNGKey(7), verbose=False)
+    w16 = v16.generate(mels, batched=False,
+                       rng=jax.random.PRNGKey(7), verbose=False)
+    assert w16.shape == w32.shape
+    assert np.isfinite(w16).all() and np.abs(w16).max() <= 1.0
+    assert abs(w16[0] - w32[0]) < 0.15
