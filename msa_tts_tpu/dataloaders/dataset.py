@@ -80,6 +80,8 @@ class TTSDataset:
         audio_params: dict,
         g2p: Grapheme2Phoneme | None = None,
         spk_emb_dict: dict | None = None,
+        use_native_feats: bool = True,
+        feats_threads: int | None = None,
     ):
         self.mode = mode
         self.audio_processor = audio_processor
@@ -93,6 +95,7 @@ class TTSDataset:
 
         sr = audio_params["sample_rate"]
         self.items: list[Item] = []
+        wavs: list[np.ndarray] = []
         for speaker, split in splits.items():
             utts: list[Utterance] = getattr(split, mode)
             for itr, u in enumerate(utts):
@@ -101,23 +104,43 @@ class TTSDataset:
                     dataset_path, audio_folder, speaker, u.filename,
                     len(splits),
                 )
-                wav = A.load_wav(path, target_sample_rate=sr)
-                if trim_margin_silence:
-                    wav = A.trim_margin_silence(
-                        wav, ref_level_db=ref_level_db
-                    )
-                mel = compute_logmel(wav, audio_processor, audio_params)
+                wavs.append(A.load_wav(path, target_sample_rate=sr))
                 self.items.append(
                     Item(
                         item_id=f"{speaker}_{itr}",
                         speaker=speaker,
                         speaker_id=self.speaker_to_id[speaker],
                         phonemes=np.asarray(seq, dtype=np.int32),
-                        mel=mel,
+                        mel=None,  # filled below
                         duration=u.duration,
                         spk_emb=spk_emb_dict[speaker],
                         audio_path=path,
                     )
+                )
+
+        # Feature extraction: the native C++ thread pool (trim + STFT +
+        # mel + log in one batched call, see native/feats.cpp) when the
+        # toolchain permits, else the identical numpy path per item.
+        native_out = None
+        if use_native_feats:
+            from ..native import extract_logmels_batch
+
+            native_out = extract_logmels_batch(
+                wavs, audio_processor, audio_params,
+                trim_margin_silence=trim_margin_silence,
+                ref_level_db=ref_level_db, n_threads=feats_threads,
+            )
+        if native_out is not None:
+            for item, mel in zip(self.items, native_out[0]):
+                item.mel = mel
+        else:
+            for item, wav in zip(self.items, wavs):
+                if trim_margin_silence:
+                    wav = A.trim_margin_silence(
+                        wav, ref_level_db=ref_level_db
+                    )
+                item.mel = compute_logmel(
+                    wav, audio_processor, audio_params
                 )
 
     def __len__(self) -> int:

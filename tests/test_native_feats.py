@@ -1,0 +1,152 @@
+"""Parity tests: native C++ feature runtime vs the numpy DSP path.
+
+The native engine (msa_tts_tpu/native/feats.cpp) must reproduce
+ops/audio.py's trim/STFT/mel/log pipelines to float32 rounding, for both
+audio frontends, threaded or not — it is an acceleration of the host
+data pipeline, never a semantic fork."""
+
+import numpy as np
+import pytest
+
+from msa_tts_tpu.native import (
+    extract_logmels_batch,
+    native_available,
+    trim_slice,
+)
+from msa_tts_tpu.ops import audio as A
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ toolchain for the native lib"
+)
+
+AP = dict(
+    sample_rate=22050, n_fft=1024, win_length=1024, hop_length=256,
+    f_min=0.0, f_max=8000.0, n_mels=80,
+)
+AP2 = dict(
+    sample_rate=22050, n_fft=1024, win_size=1024, hop_size=256,
+    fmin=0.0, fmax=8000.0, n_mels=80, center=False,
+)
+
+
+def _wavs(seed=0, durs=(0.4, 1.0, 2.3)):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.standard_normal(int(22050 * d)).astype(np.float32) * 0.3
+        for d in durs
+    ]
+
+
+def test_ap_parity():
+    wavs = _wavs()
+    mels, slices = extract_logmels_batch(wavs, "ap", AP)
+    for w, m, s in zip(wavs, mels, slices):
+        assert s == (0, len(w))  # no trim requested
+        _, _, ref = A.melspec_ap(w, AP, xp=np)
+        np.testing.assert_allclose(
+            m, np.asarray(ref, np.float32), atol=1e-5
+        )
+
+
+def test_ap_parity_window_shorter_than_nfft():
+    p = dict(AP, win_length=800)
+    wavs = _wavs(seed=3, durs=(0.8,))
+    mels, _ = extract_logmels_batch(wavs, "ap", p)
+    _, _, ref = A.melspec_ap(wavs[0], p, xp=np)
+    np.testing.assert_allclose(
+        mels[0], np.asarray(ref, np.float32), atol=1e-5
+    )
+
+
+def test_ap2_parity():
+    wavs = _wavs(seed=1)
+    mels, _ = extract_logmels_batch(wavs, "ap2", AP2)
+    for w, m in zip(wavs, mels):
+        _, _, ref = A.melspec_ap2(w[None], AP2, xp=np)
+        np.testing.assert_allclose(
+            m, np.asarray(ref[0], np.float32), atol=1e-5
+        )
+
+
+def test_trim_parity():
+    rng = np.random.default_rng(2)
+    w = np.concatenate([
+        np.zeros(5000, np.float32),
+        rng.standard_normal(30000).astype(np.float32),
+        np.zeros(9000, np.float32),
+    ])
+    start, end = trim_slice(w, ref_level_db=26)
+    ref = A.trim_margin_silence(w, ref_level_db=26)
+    assert end - start == len(ref)
+    np.testing.assert_array_equal(w[start:end], ref)
+
+
+def test_trim_all_silent_and_all_loud():
+    silent = np.zeros(4000, np.float32)
+    s, e = trim_slice(silent)
+    assert (s, e) == (0, len(silent))  # zero signal kept (numpy semantics)
+    loud = np.ones(4000, np.float32)
+    s, e = trim_slice(loud)
+    ref = A.trim_margin_silence(loud)
+    assert e - s == len(ref)
+
+
+def test_trimmed_extraction_matches_numpy_chain():
+    rng = np.random.default_rng(4)
+    w = np.concatenate([
+        np.zeros(4000, np.float32),
+        rng.standard_normal(25000).astype(np.float32) * 0.5,
+        np.zeros(6000, np.float32),
+    ])
+    mels, slices = extract_logmels_batch(
+        [w], "ap", AP, trim_margin_silence=True, ref_level_db=26
+    )
+    trimmed = A.trim_margin_silence(w, ref_level_db=26)
+    assert slices[0][1] - slices[0][0] == len(trimmed)
+    _, _, ref = A.melspec_ap(trimmed, AP, xp=np)
+    np.testing.assert_allclose(
+        mels[0], np.asarray(ref, np.float32), atol=1e-5
+    )
+
+
+def test_threaded_matches_single_thread():
+    wavs = _wavs(seed=5, durs=(0.5, 0.9, 1.4, 2.0, 0.6, 1.1))
+    m1, _ = extract_logmels_batch(wavs, "ap", AP, n_threads=1)
+    m4, _ = extract_logmels_batch(wavs, "ap", AP, n_threads=4)
+    for a, b in zip(m1, m4):
+        np.testing.assert_array_equal(a, b)  # bit-identical
+
+
+def test_dataset_native_equals_numpy(tmp_path):
+    """TTSDataset built with the native engine must hold the same cached
+    features as the numpy fallback."""
+    from msa_tts_tpu.dataloaders import parse_metafile, split_speakers
+    from msa_tts_tpu.dataloaders.dataset import TTSDataset
+    from msa_tts_tpu.dataloaders.synthetic import make_synthetic_corpus
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(root, n_speakers=2, utterances_per_speaker=3,
+                          seed=0)
+    utts = parse_metafile(root + "/metadata.csv")
+    splits, _ = split_speakers(
+        utts, ["spk00", "spk01"], perc_train=0.7, seed=0
+    )
+
+    def build(native: bool):
+        return TTSDataset(
+            splits, "train", dataset_path=root,
+            trim_margin_silence=True, ref_level_db=26,
+            audio_processor="ap", audio_params=dict(AP),
+            use_native_feats=native,
+        )
+
+    ds_native = build(True)
+    ds_numpy = build(False)
+    assert len(ds_native) == len(ds_numpy) > 0
+    for a, b in zip(ds_native.items, ds_numpy.items):
+        assert a.item_id == b.item_id
+        assert a.mel.shape == b.mel.shape
+        # log10 of near-clamp mel energies amplifies float32 rounding;
+        # 2e-4 absolute on a log-mel is far below any training effect.
+        np.testing.assert_allclose(a.mel, b.mel, atol=2e-4)
+        np.testing.assert_array_equal(a.phonemes, b.phonemes)
