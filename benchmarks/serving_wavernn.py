@@ -80,11 +80,60 @@ def run_variant(gen_dtype, target, overlap, n_timed=3):
     return row
 
 
+def run_batch_variant(gen_dtype, n_utts, target, overlap, n_timed=3):
+    """Multi-utterance batched generation: all utterances' folds in one
+    sample scan (WaveRNN.generate_batch)."""
+    voc = WaveRNN(cfg=CFG, rng=jax.random.PRNGKey(0), gen_dtype=gen_dtype)
+    rng = np.random.default_rng(0)
+    mels = [
+        rng.standard_normal((CFG.n_mels, T_MEL)).astype(np.float32) * 0.1
+        for _ in range(n_utts)
+    ]
+
+    def once():
+        t0 = time.time()
+        outs = voc.generate_batch(
+            mels, target=target, overlap=overlap,
+            rng=jax.random.PRNGKey(1), verbose=False,
+        )
+        return outs, time.time() - t0
+
+    outs, _ = once()  # compile
+    assert all(np.isfinite(o).all() for o in outs)
+    dt = min(once()[1] for _ in range(n_timed))
+    n = sum(len(o) for o in outs)
+    rate_khz = n / dt / 1000.0
+    row = {
+        "mode": f"batch_x{n_utts}",
+        "gen_dtype": gen_dtype or "float32",
+        "target": target,
+        "overlap": overlap,
+        "samples": int(n),
+        "seconds": round(dt, 3),
+        "rate_khz": round(rate_khz, 1),
+        "x_realtime": round(rate_khz * 1000.0 / CFG.sample_rate, 2),
+    }
+    print(json.dumps(row))
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="only the round-1 config and the tuned config")
+    ap.add_argument("--batch", action="store_true",
+                    help="multi-utterance batched-generation variants")
     args = ap.parse_args()
+
+    if args.batch:
+        rows = [
+            run_batch_variant("bfloat16", 4, 2_750, 550),
+            run_batch_variant("bfloat16", 8, 2_750, 550),
+            run_batch_variant("bfloat16", 8, 5_500, 550),
+        ]
+        best = max(rows, key=lambda r: r["x_realtime"])
+        print(json.dumps({"best": best}))
+        return
 
     variants = [
         (None, 11_000, 550),        # round-1 configuration (fp32)

@@ -385,6 +385,37 @@ def sample_from_gaussian(y_hat, rng, log_std_min=-7.0, scale_factor=1.0):
 # Generation (batched folds + lax.scan over samples)
 # --------------------------------------------------------------------------
 
+def _fold_counts(T: int, target: int, overlap: int):
+    """Static fold bookkeeping for a (T, F) conditioning signal:
+    returns ``(num_folds, n_pad_folds)`` where ``n_pad_folds`` buckets
+    the fold count to a multiple of 4 (bounds recompiles); callers
+    slice generated samples back to the real ``num_folds``."""
+    num_folds = (T - overlap) // (target + overlap)
+    extended = num_folds * (overlap + target) + overlap
+    if T - extended != 0:
+        num_folds += 1
+    n_pad = -(-num_folds // 4) * 4
+    return num_folds, n_pad
+
+
+def _fold_device(x, target: int, overlap: int):
+    """Device-side fold of (T, F) conditioning into
+    ``(n_pad_folds, target + 2·overlap, F)`` overlapping segments via a
+    gather (shapes are static under jit).  Returns ``(folded,
+    num_folds)`` with ``num_folds`` the REAL fold count."""
+    T = x.shape[0]
+    L = target + 2 * overlap
+    num_folds, n_pad = _fold_counts(T, target, overlap)
+    last_start = (n_pad - 1) * (target + overlap)
+    pad_T = max(last_start + L - T, 0)
+    flat = jnp.pad(x, ((0, pad_T), (0, 0)))
+    idx = (
+        np.arange(n_pad)[:, None] * (target + overlap)
+        + np.arange(L)[None, :]
+    )
+    return flat[jnp.asarray(idx)], num_folds
+
+
 def fold_with_overlap(x: np.ndarray, target: int, overlap: int) -> np.ndarray:
     """(1, T, F) → (num_folds, target + 2·overlap, F) with shared overlap
     regions (reference wavernn.py:211-252)."""
@@ -470,8 +501,12 @@ def cast_generation_params(params, dtype):
     return out
 
 
-def _make_generate_scan(cfg: WaveRNNConfig):
-    """Build the jitted ``run(params, mels_up, aux, rng) -> samples``.
+def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False):
+    """Build the jitted ``run(params, mels_up, aux, rng) -> samples``
+    (or, with ``with_noise``, ``run(params, mels_up, aux, noise1,
+    noise2)`` taking the pre-drawn sampling noise — used by the
+    multi-utterance batch path, which draws per-utterance noise from
+    per-utterance keys).
 
     Two structural optimizations over a naive per-step port
     (reference loop: msa_tts/utils/wavernn/wavernn.py:123-166):
@@ -517,7 +552,7 @@ def _make_generate_scan(cfg: WaveRNNConfig):
             raise ValueError(cfg.mode)
         return (sample[:, None], h1, h2), sample
 
-    def run(params, mels_up, aux, rng):
+    def run_with_noise(params, mels_up, aux, noise1, noise2):
         B, T, _ = mels_up.shape
         W_I = params["I"]["weight"]  # (rnn, 1 + F [+ d])
         w_x = W_I[:, 0].astype(jnp.float32)
@@ -530,10 +565,6 @@ def _make_generate_scan(cfg: WaveRNNConfig):
         # hoisted conditioning projection: one large batched matmul
         i_static = _mm(static_in, W_I[:, 1:]) + params["I"]["bias"]
 
-        # sampling noise is independent of the autoregression, so the
-        # PRNG work (≈40% of a step's time) is hoisted into two big
-        # vectorized draws; inside the scan sampling is gather+arithmetic
-        noise1, noise2 = _generation_noise(cfg, rng, T, B)
         carry = (
             jnp.zeros((B, 1)),
             jnp.zeros((B, cfg.rnn_dims)),
@@ -550,6 +581,17 @@ def _make_generate_scan(cfg: WaveRNNConfig):
             ),
         )
         return jnp.swapaxes(samples, 0, 1)  # (B, T)
+
+    if with_noise:
+        return run_with_noise
+
+    def run(params, mels_up, aux, rng):
+        # sampling noise is independent of the autoregression, so the
+        # PRNG work (≈40% of a step's time) is hoisted into two big
+        # vectorized draws; inside the scan sampling is gather+arithmetic
+        B, T, _ = mels_up.shape
+        noise1, noise2 = _generation_noise(cfg, rng, T, B)
+        return run_with_noise(params, mels_up, aux, noise1, noise2)
 
     return run
 
@@ -637,21 +679,8 @@ class WaveRNN:
         scan_run = _make_generate_scan(cfg)
 
         def fold(x):  # (1, T, F) → (n_pad_folds, target+2·overlap, F)
-            T = x.shape[1]
-            L = target + 2 * overlap
-            num_folds = (T - overlap) // (target + overlap)
-            extended = num_folds * (overlap + target) + overlap
-            if T - extended != 0:
-                num_folds += 1
-            n_pad = -(-num_folds // 4) * 4  # fold-count bucketing
-            last_start = (n_pad - 1) * (target + overlap)
-            pad_T = max(last_start + L - T, 0)
-            flat = jnp.pad(x[0], ((0, pad_T), (0, 0)))
-            idx = (
-                np.arange(n_pad)[:, None] * (target + overlap)
-                + np.arange(L)[None, :]
-            )
-            return flat[jnp.asarray(idx)], num_folds
+            folded, num_folds = _fold_device(x[0], target, overlap)
+            return folded, num_folds
 
         def pipeline(up_params, up_state, gen_params, mels, rng):
             mels_up, aux = upsample_apply(
@@ -665,6 +694,114 @@ class WaveRNN:
         fn = jax.jit(pipeline)
         self._pipelines[key] = fn
         return fn
+
+    def _batch_pipeline(self, target: int, overlap: int):
+        """Multi-utterance generation as ONE device program: all
+        utterances' folds are concatenated into a single sample scan, so
+        the per-step weight traffic (the HBM-bandwidth floor) is
+        amortized over every fold of every utterance.  Noise is drawn
+        per utterance from per-utterance keys, so a batch row is
+        bit-equivalent to a single-utterance run with that key."""
+        key = ("batch", target, overlap)
+        if key in self._pipelines:
+            return self._pipelines[key]
+        cfg = self.cfg
+        scan_noise = _make_generate_scan(cfg, with_noise=True)
+
+        def pipeline(up_params, up_state, gen_params, mels, rngs):
+            # mels: (B, n_mels, T) already cfg.pad-extended; rngs: (B, 2)
+            mels_up, aux = upsample_apply(
+                up_params, up_state, cfg, mels, train=False
+            )
+            num_folds, _ = _fold_counts(
+                mels_up.shape[1], target, overlap
+            )
+            folded = jax.vmap(
+                lambda m: _fold_device(m, target, overlap)[0]
+            )(mels_up)                      # (B, n_pad, L, F)
+            B, n_pad, L, F = folded.shape
+            if aux is not None:
+                # basic-Upsample aux is untrimmed (longer than mels_up),
+                # which can bucket to more fold rows — keep mels' rows
+                aux_folded = jax.vmap(
+                    lambda a: _fold_device(a, target, overlap)[0]
+                )(aux)[:, :n_pad]
+                aux_flat = aux_folded.reshape(B * n_pad, L, -1)
+            else:
+                aux_flat = None
+            n1, n2 = jax.vmap(
+                lambda k: _generation_noise(cfg, k, L, n_pad)
+            )(rngs)                          # (B, L, n_pad, ...)
+            # (B, L, n_pad, ...) → (L, B·n_pad, ...): time-major with the
+            # batch axis matching the fold concatenation order
+            n1 = jnp.moveaxis(n1, 0, 1).reshape((L, B * n_pad) + n1.shape[3:])
+            n2 = jnp.moveaxis(n2, 0, 1).reshape((L, B * n_pad) + n2.shape[3:])
+            samples = scan_noise(
+                gen_params, folded.reshape(B * n_pad, L, F), aux_flat,
+                n1, n2,
+            )
+            return samples.reshape(B, n_pad, L), num_folds
+
+        fn = jax.jit(pipeline)
+        self._pipelines[key] = fn
+        return fn
+
+    def generate_batch(self, mels_list, target: int = 2_750,
+                       overlap: int = 550, rng=None, rngs=None,
+                       bucket_frames: int = 32, verbose: bool = True):
+        """Vocode several utterances in ONE sample scan.
+
+        ``mels_list``: list of (n_mels, T_i) log-mels (lengths may
+        differ; they are zero-padded to a common bucketed length —
+        padding only conditions samples past each utterance's true
+        length, which are discarded).  ``rngs`` optionally pins one PRNG
+        key per utterance (default: split of ``rng``).  Returns a list
+        of float64 waveforms of length ``(T_i − 1)·hop``.
+
+        This is the serving-throughput path the reference cannot
+        express (its fold batching is per-utterance only,
+        msa_tts/utils/wavernn/wavernn.py:211-252): beyond ~8 folds a
+        single utterance stops scaling because the scan is weight-
+        bandwidth-bound per STEP, not per ROW — rows are nearly free on
+        the MXU, so stacking utterances multiplies throughput.
+        """
+        cfg = self.cfg
+        B = len(mels_list)
+        if rngs is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
+            rngs = list(jax.random.split(rng, B))
+        rngs = jnp.stack([jnp.asarray(k) for k in rngs])
+        t_lens = [np.asarray(m).shape[-1] for m in mels_list]
+        T = -(-max(t_lens) // bucket_frames) * bucket_frames
+        mels = np.zeros((B, cfg.n_mels, T), np.float32)
+        for i, m in enumerate(mels_list):
+            mels[i, :, : t_lens[i]] = np.asarray(m)
+        mels = jnp.pad(
+            jnp.asarray(mels), ((0, 0), (0, 0), (cfg.pad, cfg.pad))
+        )
+        t0 = time.time()
+        samples, n_folds = self._batch_pipeline(target, overlap)(
+            self.params["upsample"], self.state["upsample"],
+            self._gen_params, mels, rngs,
+        )
+        samples = np.asarray(samples).astype(np.float64)
+        outs = []
+        for i in range(B):
+            wave_len = (t_lens[i] - 1) * cfg.hop_length
+            out = xfade_and_unfold(
+                samples[i, : int(n_folds)], target, overlap
+            )
+            outs.append(out[:wave_len])
+        if verbose:
+            n = sum(len(o) for o in outs)
+            rate_khz = n / max(time.time() - t0, 1e-9) / 1000.0
+            print(
+                f"WaveRNN batch x{B}: {n} samples, gen_rate: "
+                f"{rate_khz:.1f} kHz -- x_realtime: "
+                f"{rate_khz * 1000 / cfg.sample_rate:.2f}"
+            )
+        return outs
 
     def generate(self, mels, batched: bool = True, target: int = 11_000,
                  overlap: int = 550, rng=None, verbose: bool = True):

@@ -61,3 +61,41 @@ def test_adaptive_tts_end_to_end(tmp_path):
     # base-model synthesis with an explicit d-vector also works
     mel = tts.synthesize("hi", spk_emb=emb, vocoder="none")
     assert mel.shape[0] == params["audio_params"]["n_mels"]
+
+    # batched synthesis: one compiled decode over all texts
+    mels = tts.synthesize_batch(
+        ["hello world", "a longer second sentence"], voice,
+        vocoder="none",
+    )
+    assert len(mels) == 2
+    assert all(
+        m.shape[0] == params["audio_params"]["n_mels"] for m in mels
+    )
+
+    # neural vocoders: attach + batch-vocode (tiny random-weight WaveRNN
+    # and HiFi-GAN — exercises the plumbing, not audio quality)
+    import jax
+    from msa_tts_tpu.vocoders.wavernn import WaveRNN, WaveRNNConfig
+
+    hop = params["audio_params"]["hop_length"]
+    wcfg = WaveRNNConfig(
+        mode="MOL", n_mels=params["audio_params"]["n_mels"], rnn_dims=16,
+        fc_dims=16, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=hop, sample_rate=22050, pad=2,
+        upsample_factors=(4, 8, hop // 32),
+    )
+    tts.attach_vocoder(
+        "wavernn", WaveRNN(cfg=wcfg, rng=jax.random.PRNGKey(0),
+                           gen_dtype=None)
+    )
+    wavs = tts.synthesize_batch(
+        ["hello world", "bye"], voice, vocoder="wavernn",
+    )
+    for m, w in zip(mels := tts.synthesize_batch(
+        ["hello world", "bye"], voice, vocoder="none"
+    ), wavs):
+        assert w.shape == ((m.shape[1] - 1) * hop,)
+        assert np.isfinite(w).all()
+
+    with pytest.raises(ValueError):
+        tts.synthesize("x", voice, vocoder="hifigan")  # not attached
