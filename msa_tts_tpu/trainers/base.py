@@ -295,37 +295,61 @@ class TrainerBase:
     _AUTO_STATE = "auto_resume_state.pkl"
 
     def _save_epoch_state(self, epoch: int, extra: dict | None = None):
-        import pickle
-
-        self._save_checkpoint(self._AUTO_CKPT)
-        path = os.path.join(
-            self.path_manager.checkpoints_path, self._AUTO_STATE
+        resume_state = {"epoch": epoch, "step_global": self.step_global}
+        resume_state.update(extra or {})
+        # ONE atomic file: the resume metadata rides inside the
+        # checkpoint payload, so a kill can never leave a newer
+        # checkpoint paired with an older epoch counter (or vice versa).
+        payload = dict(self._ckpt_payload(), resume_state=resume_state)
+        ckpt_path = os.path.join(
+            self.path_manager.checkpoints_path, self._AUTO_CKPT
         )
-        payload = {"epoch": epoch, "step_global": self.step_global}
-        payload.update(extra or {})
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(payload, f)
-        os.replace(tmp, path)
+        if self.params.get("async_checkpoint", True):
+            # serialization + disk IO off-thread; the train loop pays
+            # only the device→host snapshot
+            if not hasattr(self, "_async_ckpt"):
+                from ..utils.checkpoint import AsyncCheckpointer
+
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save(ckpt_path, payload)
+        else:
+            save_checkpoint(ckpt_path, payload)
+
+    def _finish_checkpoints(self):
+        """Drain any pending async checkpoint writes (call at run() end
+        and before anything reads the auto-resume files in-process)."""
+        if hasattr(self, "_async_ckpt"):
+            self._async_ckpt.wait()
 
     def _try_resume_epoch(self):
-        """Returns ``(completed_epochs, sidecar_dict | None)``."""
+        """Returns ``(completed_epochs, resume_state_dict | None)``."""
         import pickle
 
         if not self.params.get("resume", False):
             return 0, None
-        state_path = os.path.join(
-            self.path_manager.checkpoints_path, self._AUTO_STATE
-        )
+        from ..utils.checkpoint import wait_all_checkpoints
+
+        wait_all_checkpoints()  # a prior in-process trainer may still write
         ckpt_path = os.path.join(
             self.path_manager.checkpoints_path, self._AUTO_CKPT
         )
-        if not (os.path.exists(state_path) and os.path.exists(ckpt_path)):
+        if not os.path.exists(ckpt_path):
             print("resume requested but no auto-resume state found; "
                   "starting fresh")
             return 0, None
-        with open(state_path, "rb") as f:
-            d = pickle.load(f)
+        raw = load_checkpoint(ckpt_path)
+        d = raw.get("resume_state")
+        if d is None:
+            # legacy two-file layout: epoch counter in a pickle sidecar
+            state_path = os.path.join(
+                self.path_manager.checkpoints_path, self._AUTO_STATE
+            )
+            if not os.path.exists(state_path):
+                print("resume requested but no auto-resume state found; "
+                      "starting fresh")
+                return 0, None
+            with open(state_path, "rb") as f:
+                d = pickle.load(f)
         self.restore(ckpt_path)
         self.step_global = int(d["step_global"])
         print(

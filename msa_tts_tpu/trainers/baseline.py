@@ -114,6 +114,7 @@ class JointTrainer(TrainerBase):
                 if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                     print("Meta-test phase ...")
                     self._metatest(epoch, k_meta)
+        self._finish_checkpoints()
 
     # ----------------------------------------------------------- train
     def _train(self, epoch: int, rng):

@@ -56,6 +56,7 @@ class Reptile(MetaTrainer):
             if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                 print("Meta-test phase ...")
                 self._metatest(epoch, k_meta)
+        self._finish_checkpoints()
 
     def _metatrain(self, epoch: int, rng):
         for itr_b, (speakers, support, query) in enumerate(

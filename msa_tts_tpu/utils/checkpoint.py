@@ -34,6 +34,98 @@ def save_checkpoint(path: str, payload: dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+import weakref
+
+_LIVE_CHECKPOINTERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def wait_all_checkpoints() -> None:
+    """Drain every live AsyncCheckpointer — call before reading files
+    that a (possibly other) trainer may still be writing in-process."""
+    for c in list(_LIVE_CHECKPOINTERS):
+        c.wait()
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer: the train loop pays only the
+    device→host snapshot (mandatory — train steps donate their input
+    buffers, so arrays must be materialized before the next step), while
+    msgpack serialization and disk IO run on a worker thread.
+
+    Writes are FIFO-ordered on a single worker, so a checkpoint enqueued
+    before its resume sidecar is guaranteed to be on disk first — the
+    ordering the auto-resume protocol relies on.  Worker errors are
+    re-raised on the next ``save``/``wait``.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        _LIVE_CHECKPOINTERS.add(self)
+
+    def _loop(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:  # surfaced on next save/wait
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, path: str, payload: dict[str, Any]) -> None:
+        """Snapshot ``payload`` to host now; serialize + write later."""
+        self._check()
+        host = jax.device_get(serialization.to_state_dict(payload))
+
+        def write():
+            data = serialization.msgpack_serialize(_to_numpy_tree(host))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+
+        self._q.put(write)
+
+    def save_pickle(self, path: str, obj: Any) -> None:
+        """Enqueue a small pickle write (e.g. a resume sidecar) behind
+        any pending checkpoint writes."""
+        import pickle
+
+        self._check()
+
+        def write():
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(obj, f)
+            os.replace(tmp, path)
+
+        self._q.put(write)
+
+    def wait(self) -> None:
+        """Block until every pending write has landed; re-raise errors."""
+        self._q.join()
+        self._check()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
 def load_checkpoint(path: str) -> dict[str, Any]:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
