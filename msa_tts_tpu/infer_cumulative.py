@@ -145,22 +145,28 @@ class InferCumulative:
 
         kind, wavernn, params_voc, denoiser = vocoder_bundle
         r = self.cfg.n_frames_per_step
-        for i, sent in enumerate(self.sent_list):
-            L = max(int(mel_lengths[i]) * r, r)
-            m = mel[i, :, :L]
-            if kind == "wavernn":
-                wav = wavernn.generate(
-                    m[None], True, params_voc["target"],
-                    params_voc["overlap"],
-                )
-                if denoiser is not None:
-                    wav = denoiser.denoise(wav)
-            else:
-                wav = np.asarray(
+        mels = [
+            mel[i, :, : max(int(mel_lengths[i]) * r, r)]
+            for i in range(len(self.sent_list))
+        ]
+        if kind == "wavernn":
+            # all sentences' folds in ONE sample scan (generate_batch)
+            wavs = wavernn.generate_batch(
+                mels, target=params_voc["target"],
+                overlap=params_voc["overlap"], verbose=False,
+            )
+            if denoiser is not None:
+                wavs = [denoiser.denoise(w) for w in wavs]
+        else:
+            wavs = [
+                np.asarray(
                     griffinlim_logmelspec(
                         jnp.asarray(m), self.params["audio_params"]
                     )
                 )
+                for m in mels
+            ]
+        for i, wav in enumerate(wavs):
             fname = (
                 f"{step}_{ref_speaker}_to_{target_speaker}_sent{i}.wav"
             )

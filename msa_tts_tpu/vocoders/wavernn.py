@@ -788,7 +788,10 @@ class WaveRNN:
         samples = np.asarray(samples).astype(np.float64)
         outs = []
         for i in range(B):
-            wave_len = (t_lens[i] - 1) * cfg.hop_length
+            # ≥ 1 hop of output even for a degenerate 1-frame mel (an
+            # untrained gate firing at step 1), so downstream wav writes
+            # never see a zero-length signal
+            wave_len = max(t_lens[i] - 1, 1) * cfg.hop_length
             out = xfade_and_unfold(
                 samples[i, : int(n_folds)], target, overlap
             )

@@ -165,3 +165,28 @@ def test_infer_cumulative(experiment, tmp_path):
     )
     # ckpt0 → 1 speaker × 2 sents; ckpt1 → 2 speakers × 2 sents = 6 total
     assert len(wavs) == 6
+
+    # WaveRNN vocoding path: all sentences vocoded in one batched
+    # sample scan (generate_batch); random weights — plumbing, not audio
+    import jax
+    from msa_tts_tpu.vocoders.wavernn import WaveRNN, WaveRNNConfig
+
+    hop = params["audio_params"]["hop_length"]
+    wcfg = WaveRNNConfig(
+        mode="MOL", n_mels=params["audio_params"]["n_mels"], rnn_dims=16,
+        fc_dims=16, compute_dims=8, res_out_dims=8, res_blocks=1,
+        hop_length=hop, sample_rate=22050, pad=2,
+        upsample_factors=(4, 8, hop // 32),
+    )
+    voc = WaveRNN(cfg=wcfg, rng=jax.random.PRNGKey(0), gen_dtype=None)
+    ic2 = InferCumulative(**dict(ic_params, vocoder="wavernn"))
+    ic2._load_vocoder = lambda: (
+        "wavernn", voc, {"target": 400, "overlap": 100}, None
+    )
+    for w in wavs:
+        os.remove(w)
+    ic2.run()
+    wavs2 = glob.glob(
+        os.path.join(ic2.path_manager.inference_path, "*.wav")
+    )
+    assert len(wavs2) == 6
