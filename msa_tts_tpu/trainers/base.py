@@ -59,9 +59,18 @@ class TrainerBase:
         )
         self.step_global = 0
 
+        # -------- failure detection (reference has none — SURVEY §5)
+        self._preempt_guard = None
+        if params.get("handle_preemption", True):
+            from ..utils.preemption import PreemptionGuard
+
+            self._preempt_guard = PreemptionGuard.shared()
+        self._watchdog = None
+
         self._init_dataloaders()
         self._init_model()
         self._init_criterion_optimizer()
+        self._init_parallel()
 
         if params.get("finetune", False):
             self._load_finetune_checkpoint()
@@ -232,18 +241,73 @@ class TrainerBase:
         new_state = state._replace(model_state=new_model_state)
         return new_state, {"loss": loss, "mcd": mcd}, outs
 
+    # ------------------------------------------------------ parallelism
+    def _init_parallel(self):
+        """Multi-chip SPMD from config (the reference has no distributed
+        training at all — SURVEY §2.8).  A ``parallel: {dp: N, task: K}``
+        block builds a named device mesh; the train state is replicated,
+        batches are sharded data-parallel on their leading axis and
+        meta-episodes on the task axis, and GSPMD inserts the gradient
+        psums — the step functions are unchanged."""
+        self.mesh = None
+        pcfg = self.params.get("parallel")
+        if not pcfg:
+            return
+        from ..parallel import make_mesh, replicate_state
+        from ..parallel.sharding import (
+            batch_sharding,
+            replicated,
+            task_batch_sharding,
+        )
+
+        self.mesh = make_mesh(
+            dp=pcfg.get("dp"), task=int(pcfg.get("task", 1))
+        )
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._task_sharding = task_batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+        self.train_state = replicate_state(self.train_state, self.mesh)
+        dp, task = self.mesh.devices.shape
+        print(f"[parallel] SPMD mesh dp={dp} task={task} "
+              f"({self.mesh.size} devices)")
+
+    def _put_batch(self, batch: dict) -> dict:
+        """Place a host batch with the data-parallel layout (no-op
+        without a mesh; a tail batch not divisible by the mesh size is
+        replicated — correct, just not parallel)."""
+        if self.mesh is None:
+            return batch
+        B = int(next(iter(batch.values())).shape[0])
+        sh = (
+            self._batch_sharding
+            if B % self.mesh.size == 0 else self._replicated
+        )
+        return jax.device_put(batch, sh)
+
+    def _put_task_batch(self, batch: dict) -> dict:
+        """Place stacked (K, S, ...) episodes with the task-parallel
+        layout (same divisibility fallback on K)."""
+        if self.mesh is None:
+            return batch
+        K = int(next(iter(batch.values())).shape[0])
+        sh = (
+            self._task_sharding
+            if K % self.mesh.size == 0 else self._replicated
+        )
+        return jax.device_put(batch, sh)
+
     # ----------------------------------------------------------- batches
     def _unpack_batch(self, batch: Batch) -> dict:
         """Build the jit-ready input dict from a host batch
         (reference _unpack_batch — msa_tts/baseline.py:107-129)."""
-        return {
+        return self._put_batch({
             "inputs": batch.inputs,
             "input_lengths": batch.input_lengths,
             "melspecs": batch.mels,
             "melspec_lengths": batch.mel_lengths,
             "speaker_vecs": batch.speaker_vecs(self.speaker_emb_type),
             "stop_labels": batch.stop_labels,
-        }
+        })
 
     # ------------------------------------------------------ checkpoints
     def _ckpt_payload(self) -> dict:
@@ -281,6 +345,7 @@ class TrainerBase:
                 restore_like(self.train_state.params, raw["params"]),
             )
             self.train_state = self.train_state._replace(params=new_params)
+        self._reshard_state()
 
     # ------------------------------------------------- preemption resume
     # Epoch-granular auto-resume for the epoch-loop trainers (baseline /
@@ -359,7 +424,9 @@ class TrainerBase:
 
     def restore(self, path: str):
         """Full-fidelity resume (params + optimizer + step)."""
-        raw = load_checkpoint(path)
+        self.restore_raw(load_checkpoint(path))
+
+    def restore_raw(self, raw: dict):
         self.train_state = TrainState(
             params=restore_like(self.train_state.params, raw["params"]),
             model_state=restore_like(
@@ -371,6 +438,50 @@ class TrainerBase:
             step=int(raw["step"]),
         )
         self.step_global = int(raw["step"])
+        self._reshard_state()
+
+    def _reshard_state(self):
+        """Re-place a freshly restored (host) train state on the mesh.
+        Checkpoints are mesh-shape-agnostic numpy trees, so this is also
+        the elastic-recovery path: restore on any device count."""
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel import replicate_state
+
+            self.train_state = replicate_state(self.train_state, self.mesh)
+
+    # ------------------------------------------------ failure detection
+    def _preempt_requested(self) -> bool:
+        """True once a preemption notice (SIGTERM) arrived; trainers
+        poll this at safe boundaries and exit cleanly — ``resume: true``
+        then continues bit-identically from the last saved state."""
+        return (
+            self._preempt_guard is not None
+            and self._preempt_guard.should_stop
+        )
+
+    def _start_watchdog(self):
+        """Arm the stall watchdog when ``stall_timeout_s`` is set: a
+        train step that makes no progress for that long gets an
+        all-thread stack dump in ``logs/stall_dump.txt``."""
+        timeout = self.params.get("stall_timeout_s")
+        if timeout:
+            from ..utils.preemption import StallWatchdog
+
+            self._watchdog = StallWatchdog(
+                float(timeout),
+                dump_path=os.path.join(
+                    self.path_manager.logs_path, "stall_dump.txt"
+                ),
+            ).start()
+
+    def _heartbeat(self):
+        if self._watchdog is not None:
+            self._watchdog.beat()
+
+    def _stop_watchdog(self):
+        if self._watchdog is not None:
+            self._watchdog.stop()
+            self._watchdog = None
 
     # ---------------------------------------------------------- logging
     def log_writer(self, logs: dict, type: str = "scalar"):

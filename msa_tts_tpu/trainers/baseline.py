@@ -91,6 +91,7 @@ class JointTrainer(TrainerBase):
             self.best_test_loss = extra.get(
                 "best_test_loss", float("inf")
             )
+        self._start_watchdog()
         for epoch in range(1, self.params["n_epochs"] + 1):
             # advance the rng stream even for skipped epochs so the
             # resumed run draws the same keys as an uninterrupted one
@@ -103,32 +104,49 @@ class JointTrainer(TrainerBase):
                         self.params.get("metatest_epoch_interval", 1) == 0:
                     self.dataloader_metatest.skip_epoch()
                 continue
-            self._train(epoch, k_train)
+            if not self._train(epoch, k_train):
+                # preempted mid-epoch: the partial epoch cannot be part
+                # of a bit-identical resume, so exit on the last saved
+                # state (resume replays this epoch from its start)
+                print(f"[preemption] stopping mid-epoch {epoch}; "
+                      "resume replays it from the last saved state")
+                break
             self._test(epoch, k_test)
-            if epoch % self.params.get("ckpt_save_epoch_interval", 1) == 0:
+            saved = epoch % self.params.get(
+                "ckpt_save_epoch_interval", 1) == 0
+            if saved:
                 self._save_checkpoint()
                 self._save_epoch_state(
                     epoch, {"best_test_loss": self.best_test_loss}
                 )
+            if self._preempt_requested():
+                if not saved:  # epoch IS complete — persist it
+                    self._save_checkpoint()
+                    self._save_epoch_state(
+                        epoch, {"best_test_loss": self.best_test_loss}
+                    )
+                print(f"[preemption] stopping after epoch {epoch}")
+                break
             if self.params.get("do_metatest", False):
                 if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                     print("Meta-test phase ...")
                     self._metatest(epoch, k_meta)
+        self._stop_watchdog()
         self._finish_checkpoints()
 
     # ----------------------------------------------------------- train
-    def _train(self, epoch: int, rng):
+    def _train(self, epoch: int, rng) -> bool:
+        """Returns False when preempted before the epoch completed."""
         print(f"===== Training epoch {epoch}")
         profile_dir = self.params.get("profile_dir")
         if profile_dir and epoch == int(self.params.get("profile_epoch", 1)):
             from ..utils.profiling import trace
 
             with trace(profile_dir):
-                self._train_epoch(epoch, rng)
-        else:
-            self._train_epoch(epoch, rng)
+                return self._train_epoch(epoch, rng)
+        return self._train_epoch(epoch, rng)
 
-    def _train_epoch(self, epoch: int, rng):
+    def _train_epoch(self, epoch: int, rng) -> bool:
         n_batches = len(self.dataloader_train)
         last = None
         # keep `prefetch` batches uploading while the device computes
@@ -141,10 +159,13 @@ class JointTrainer(TrainerBase):
         if n_prefetch > 0:
             batches = prefetch_to_device(batches, size=n_prefetch)
         for itr, inputs in enumerate(batches, 1):
+            if self._preempt_requested():
+                return False
             step_rng = jax.random.fold_in(rng, itr)
             self.train_state, metrics, outs = self._train_step_jit(
                 self.train_state, inputs, step_rng
             )
+            self._heartbeat()
             loss = float(metrics["loss"])
             mcd = float(metrics["mcd"])
             if self.step_global % self.params.get("tb_log_interval", 10) == 0:
@@ -167,6 +188,7 @@ class JointTrainer(TrainerBase):
 
         if last is not None and self.params.get("plot_examples", True):
             self._plot_example(last, f"train-{self.step_global // 1000}K")
+        return True
 
     def _plot_example(self, last, name: str):
         inputs, outs = last

@@ -105,9 +105,10 @@ class ContinualTrainerBase(TrainerBase):
 
     # ---------------------------------------------------------- training
     def _train_task(self, speaker: str, spk_itr: int, items: list[Item],
-                    rng) -> None:
+                    rng) -> bool:
         """Epoch loop with early stopping on the task test loss
-        (reference continual_er.py:273-313)."""
+        (reference continual_er.py:273-313).  Returns False when
+        preempted before the task completed."""
         params = self.params
         loader = self._make_loader(items, seed=spk_itr)
         test_items = self._task_items([speaker], "test")
@@ -121,11 +122,14 @@ class ContinualTrainerBase(TrainerBase):
             for itr, batch in enumerate(loader, 1):
                 if batch.inputs.shape[0] == 1:
                     continue  # reference skips singleton batches (:279-280)
+                if self._preempt_requested():
+                    return False
                 inputs = self._unpack_batch(batch)
                 step_rng = jax.random.fold_in(rng, self.step_global)
                 self.train_state, metrics, outs = self._task_step(
                     self.train_state, inputs, step_rng
                 )
+                self._heartbeat()
                 loss = float(metrics["loss"])
                 mcd = float(metrics["mcd"])
                 print(
@@ -171,6 +175,7 @@ class ContinualTrainerBase(TrainerBase):
                 length_mel=int(inputs["melspec_lengths"][idx]),
                 length_attn=int(inputs["input_lengths"][idx]),
             )
+        return True
 
     def _task_step(self, state, inputs, rng):
         """The jitted optimization step for the current task (overridden
@@ -286,7 +291,6 @@ class ContinualTrainerBase(TrainerBase):
             self.buffer = buf
 
     def _save_stream_state(self, next_spk_itr: int, rng) -> None:
-        self._save_checkpoint(self._STREAM_CKPT)
         payload = {
             "next_spk_itr": next_spk_itr,
             "all_speakers": self.all_speakers,
@@ -300,6 +304,21 @@ class ContinualTrainerBase(TrainerBase):
         path = os.path.join(
             self.path_manager.checkpoints_path, self._STREAM_STATE
         )
+        # ONE atomic file: the full-fidelity checkpoint rides inside the
+        # stream pickle as msgpack bytes, so a kill can never pair a
+        # newer checkpoint with an older stream position.
+        if self.params.get("async_checkpoint", True):
+            if not hasattr(self, "_async_ckpt"):
+                from ..utils.checkpoint import AsyncCheckpointer
+
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save_pickle(
+                path, payload, ckpt_payload=self._ckpt_payload()
+            )
+            return
+        from ..utils.checkpoint import serialize_payload
+
+        payload["ckpt"] = serialize_payload(self._ckpt_payload())
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
@@ -309,6 +328,9 @@ class ContinualTrainerBase(TrainerBase):
         """Returns ``(next_spk_itr, rng)`` when resuming, else None."""
         if not self.params.get("resume", False):
             return None
+        from ..utils.checkpoint import wait_all_checkpoints
+
+        wait_all_checkpoints()
         path = os.path.join(
             self.path_manager.checkpoints_path, self._STREAM_STATE
         )
@@ -323,11 +345,16 @@ class ContinualTrainerBase(TrainerBase):
                 "stream state speaker order does not match this config "
                 "(speaker_seed / speakers_list changed?)"
             )
-        self.restore(
-            os.path.join(
-                self.path_manager.checkpoints_path, self._STREAM_CKPT
+        if d.get("ckpt") is not None:
+            from ..utils.checkpoint import deserialize_payload
+
+            self.restore_raw(deserialize_payload(d["ckpt"]))
+        else:  # legacy two-file layout
+            self.restore(
+                os.path.join(
+                    self.path_manager.checkpoints_path, self._STREAM_CKPT
+                )
             )
-        )
         self.step_global = int(d["step_global"])
         self.speakers_so_far = list(d["speakers_so_far"])
         self.cumutest_dict = dict(d["cumutest_dict"])
@@ -372,6 +399,7 @@ class ContinualTrainerBase(TrainerBase):
         num_initial = self.params.get("num_initial_speakers", 0)
 
         resumed = self._try_resume()
+        self._start_watchdog()
         if resumed is not None:
             start_itr, rng = resumed
         else:
@@ -380,19 +408,35 @@ class ContinualTrainerBase(TrainerBase):
                 initial_speakers = self.all_speakers[:num_initial]
                 items = self._initial_task_items(initial_speakers)
                 rng, k = jax.random.split(rng)
-                self._train_task(initial_speakers[0], 0, items, k)
+                if not self._train_task(initial_speakers[0], 0, items, k):
+                    print("[preemption] initial-finetune phase abandoned; "
+                          "resume restarts it")
+                    self._stop_watchdog()
+                    self._finish_checkpoints()
+                    return
                 self._save_checkpoint(f"best_0_{initial_speakers[0]}.ckpt")
                 self._save_stream_state(num_initial, rng)
-
         for spk_itr, speaker in enumerate(self.all_speakers, num_initial):
             if spk_itr < start_itr:
                 continue
+            if self._preempt_requested():
+                print(f"[preemption] stopping before task {spk_itr} "
+                      f"({speaker}); resume continues there")
+                break
             self.speakers_so_far.append(speaker)
             self._reset_optimizer(speaker)
             items = self._task_train_items(speaker, spk_itr)
             rng, k1, k2 = jax.random.split(rng, 3)
-            self._train_task(speaker, spk_itr, items, k1)
+            if not self._train_task(speaker, spk_itr, items, k1):
+                # preempted mid-task: the stream state saved after the
+                # previous task stands; resume restarts this task and
+                # replays it bit-identically
+                print(f"[preemption] task {spk_itr} ({speaker}) abandoned "
+                      "mid-stream; resume restarts it")
+                break
             self._save_checkpoint(f"best_{spk_itr}_{speaker}.ckpt")
             self._post_task(speaker, spk_itr)
             self._test_cumulative(speaker, spk_itr, k2)
             self._save_stream_state(spk_itr + 1, rng)
+        self._stop_watchdog()
+        self._finish_checkpoints()

@@ -42,6 +42,7 @@ class MAML(MetaTrainer):
         self.step_global = 0
         rng = jax.random.PRNGKey(self.params.get("train_seed", 1234))
         done, _ = self._try_resume_epoch()
+        self._start_watchdog()
         for epoch in range(1, self.params["n_epochs"] + 1):
             rng, k_train, k_meta = jax.random.split(rng, 3)
             if epoch <= done:
@@ -50,24 +51,44 @@ class MAML(MetaTrainer):
                         "metatest_epoch_interval", 1) == 0:
                     self.dataloader_metatest.skip_epoch()
                 continue
-            self._metatrain(epoch, k_train)
-            if epoch % self.params.get("ckpt_save_epoch_interval", 1) == 0:
+            if not self._metatrain(epoch, k_train):
+                print(f"[preemption] stopping mid-epoch {epoch}; "
+                      "resume replays it from the last saved state")
+                break
+            saved = epoch % self.params.get(
+                "ckpt_save_epoch_interval", 1) == 0
+            if saved:
                 self._save_checkpoint()
                 self._save_epoch_state(epoch)
+            if self._preempt_requested():
+                if not saved:
+                    self._save_checkpoint()
+                    self._save_epoch_state(epoch)
+                print(f"[preemption] stopping after epoch {epoch}")
+                break
             if epoch % self.params.get("metatest_epoch_interval", 1) == 0:
                 print("Meta-test phase ...")
                 self._metatest(epoch, k_meta)
+        self._stop_watchdog()
         self._finish_checkpoints()
 
-    def _metatrain(self, epoch: int, rng):
+    def _metatrain(self, epoch: int, rng) -> bool:
+        """Returns False when preempted before the epoch completed."""
         for itr_b, (speakers, support, query) in enumerate(
             self.dataloader_metatrain.iter_stacked()
         ):
-            sup = unpack_task_batch(support, self.speaker_emb_type)
-            qry = unpack_task_batch(query, self.speaker_emb_type)
+            if self._preempt_requested():
+                return False
+            sup = self._put_task_batch(
+                unpack_task_batch(support, self.speaker_emb_type)
+            )
+            qry = self._put_task_batch(
+                unpack_task_batch(query, self.speaker_emb_type)
+            )
             self.train_state, metrics = self._maml_step_jit(
                 self.train_state, sup, qry, jax.random.fold_in(rng, itr_b)
             )
+            self._heartbeat()
             loss = float(metrics.loss)
             logs = {
                 "train/loss": (loss, self.step_global),
@@ -87,6 +108,7 @@ class MAML(MetaTrainer):
                 )
             self.log_writer(logs)
             self.step_global += 1
+        return True
 
 
 def main(args):

@@ -23,11 +23,19 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, payload: dict[str, Any]) -> None:
-    # to_state_dict flattens NamedTuples/optax states into plain dicts so
-    # msgpack can serialize them; restore_like reverses this.
+def serialize_payload(payload: dict[str, Any]) -> bytes:
+    """Pytree → msgpack bytes. ``to_state_dict`` flattens NamedTuples /
+    optax states into plain dicts; ``restore_like`` reverses this."""
     payload = serialization.to_state_dict(payload)
-    data = serialization.msgpack_serialize(_to_numpy_tree(payload))
+    return serialization.msgpack_serialize(_to_numpy_tree(payload))
+
+
+def deserialize_payload(data: bytes) -> dict[str, Any]:
+    return serialization.msgpack_restore(data)
+
+
+def save_checkpoint(path: str, payload: dict[str, Any]) -> None:
+    data = serialize_payload(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -100,17 +108,31 @@ class AsyncCheckpointer:
 
         self._q.put(write)
 
-    def save_pickle(self, path: str, obj: Any) -> None:
-        """Enqueue a small pickle write (e.g. a resume sidecar) behind
-        any pending checkpoint writes."""
+    def save_pickle(self, path: str, obj: Any, *,
+                    ckpt_payload: dict | None = None,
+                    ckpt_key: str = "ckpt") -> None:
+        """Enqueue a pickle write.  With ``ckpt_payload``, the pytree is
+        snapshotted to host NOW and msgpack-serialized on the worker,
+        landing as ``obj[ckpt_key] = bytes`` — one atomic file carrying
+        both a checkpoint and its metadata."""
         import pickle
 
         self._check()
+        host = (
+            jax.device_get(serialization.to_state_dict(ckpt_payload))
+            if ckpt_payload is not None else None
+        )
 
         def write():
+            out = obj
+            if host is not None:
+                out = dict(obj)
+                out[ckpt_key] = serialization.msgpack_serialize(
+                    _to_numpy_tree(host)
+                )
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
-                pickle.dump(obj, f)
+                pickle.dump(out, f)
             os.replace(tmp, path)
 
         self._q.put(write)

@@ -267,7 +267,7 @@ def test_maml_resume_bit_identical(tmp_path):
         def _metatrain(self, epoch, rng):
             if epoch == 3:
                 raise RuntimeError("simulated preemption")
-            super()._metatrain(epoch, rng)
+            return super()._metatrain(epoch, rng)
 
     p_int = mkparams("resumed")
     with pytest.raises(RuntimeError, match="preemption"):

@@ -530,3 +530,92 @@ def test_infer_sharded_batch_matches_single(mesh):
     np.testing.assert_allclose(
         np.asarray(mel_s), np.asarray(mel_ref), atol=2e-5
     )
+
+
+def test_checkpoint_elastic_mesh_reshape(tmp_path):
+    """Elastic recovery: a checkpoint written mid-run on a (2,4) mesh
+    restores onto (4,2), (8,1), and a single device, and the continued
+    run reproduces the original parameters exactly.  Checkpoints are
+    host-side numpy msgpack with replicated params, so restore is
+    mesh-shape-agnostic — this pins that property."""
+    from msa_tts_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_like,
+        save_checkpoint,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    step = make_maml_step(
+        quad_loss, optax.sgd(0.1), optax.sgd(1.0), n_inner=1,
+        second_order=True, remat=False,
+    )
+    K = 8
+    w0 = jnp.asarray([2.0, -3.0])
+
+    def ep(seed):
+        return {
+            "target": jnp.asarray(
+                np.random.default_rng(seed).standard_normal((K, 4, 2)),
+                dtype=jnp.float32,
+            )
+        }
+
+    def fresh_state():
+        return TrainState(
+            params={"w": w0}, model_state={},
+            opt_state=optax.sgd(1.0).init({"w": w0}), step=0,
+        )
+
+    path = str(tmp_path / "elastic.ckpt")
+    mesh_a = make_mesh(dp=2, task=4)
+    with mesh_a:
+        st = replicate_state(fresh_state(), mesh_a)
+        st, _ = jax.jit(step)(
+            st, shard_task_batch(ep(1), mesh_a),
+            shard_task_batch(ep(2), mesh_a), jax.random.PRNGKey(0),
+        )
+        save_checkpoint(
+            path,
+            {"params": st.params, "opt_state": st.opt_state,
+             "step": st.step},
+        )
+        st, _ = jax.jit(step)(
+            st, shard_task_batch(ep(3), mesh_a),
+            shard_task_batch(ep(4), mesh_a), jax.random.PRNGKey(1),
+        )
+        w_ref = np.asarray(st.params["w"])
+
+    def restored_state():
+        raw = load_checkpoint(path)
+        base = fresh_state()
+        return TrainState(
+            params=restore_like(base.params, raw["params"]),
+            model_state={},
+            opt_state=restore_like(base.opt_state, raw["opt_state"]),
+            step=int(raw["step"]),
+        )
+
+    # reshape to other mesh geometries
+    for dp, task in [(4, 2), (8, 1)]:
+        mesh_b = make_mesh(dp=dp, task=task)
+        with mesh_b:
+            st2 = replicate_state(restored_state(), mesh_b)
+            st2, _ = jax.jit(step)(
+                st2, shard_task_batch(ep(3), mesh_b),
+                shard_task_batch(ep(4), mesh_b), jax.random.PRNGKey(1),
+            )
+        np.testing.assert_allclose(
+            np.asarray(st2.params["w"]), w_ref, rtol=1e-6,
+            err_msg=f"elastic restore diverged on mesh ({dp},{task})",
+        )
+
+    # shrink to a single device (no mesh at all)
+    st1, _ = jax.jit(step)(
+        restored_state(), ep(3), ep(4), jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.params["w"]), w_ref, rtol=1e-6,
+        err_msg="elastic restore diverged on single device",
+    )

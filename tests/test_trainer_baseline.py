@@ -140,7 +140,7 @@ def test_joint_resume_bit_identical(tmp_path):
         def _train(self, epoch, rng):
             if epoch == 3:
                 raise RuntimeError("simulated preemption")
-            super()._train(epoch, rng)
+            return super()._train(epoch, rng)
 
     p_int = mkparams("resumed")
     with pytest.raises(RuntimeError, match="preemption"):

@@ -1,0 +1,214 @@
+"""Trainer-level SPMD: the ``parallel: {dp, task}`` config block must
+shard real training runs over the virtual device mesh and reproduce the
+single-device results (the step programs are identical; only GSPMD
+layouts change)."""
+
+import jax
+import numpy as np
+import pytest
+
+from msa_tts_tpu.dataloaders.synthetic import (
+    make_synthetic_corpus,
+    synthetic_params,
+)
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _leaves_close(a, b, atol):
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=atol, rtol=1e-4
+        )
+
+
+def test_joint_trainer_parallel_config_matches_single(tmp_path):
+    """Joint training with ``parallel: {dp: 2, task: 4}`` (batch sharded
+    over all 8 devices; the ragged tail batch takes the replicated
+    fallback) vs the plain single-device run."""
+    from msa_tts_tpu.trainers.baseline import JointTrainer
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=7, seed=21,
+        min_dur=0.25, max_dur=0.4,
+    )
+
+    def mkparams(out, **extra):
+        params = synthetic_params(
+            root, n_speakers=2, batch_size=8, n_epochs=2,
+            do_metatest=False,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, output_path=str(tmp_path / out),
+            # SGD: adam's sign-like first step would amplify the
+            # reduction-order noise of the psum into full-lr deltas
+            optim={"optimizer_type": "SGD", "lr": "1e-2"},
+        )
+        params.update(extra)
+        return params
+
+    t_single = JointTrainer(**mkparams("single"))
+    t_single.run()
+
+    t_par = JointTrainer(
+        **mkparams("parallel", parallel={"dp": 2, "task": 4})
+    )
+    assert t_par.mesh is not None and t_par.mesh.size == 8
+    t_par.run()
+
+    assert t_par.step_global == t_single.step_global
+    _leaves_close(
+        t_par.train_state.params, t_single.train_state.params, atol=3e-5
+    )
+
+
+def test_maml_trainer_parallel_config_matches_single(tmp_path):
+    """MAML with episodes task-sharded over a (1, 2) mesh vs plain
+    single-device — the vmapped task axis splits across devices and the
+    outer grad psum must not change the math."""
+    from msa_tts_tpu.trainers.maml import MAML
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=4, utterances_per_speaker=4, seed=23,
+        min_dur=0.25, max_dur=0.35,
+    )
+
+    def mkparams(out, **extra):
+        params = synthetic_params(
+            root, n_speakers=4, batch_size=2, n_epochs=2,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            method="maml", experiment_name="maml",
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, output_path=str(tmp_path / out),
+            meta_batch_size=2, n_inner_train=1,
+            metatest_epoch_interval=100,
+            optim_outer={"optimizer_type": "SGD", "lr": "1e-2"},
+        )
+        params.update(extra)
+        return params
+
+    t_single = MAML(**mkparams("single"))
+    t_single.run()
+
+    t_par = MAML(**mkparams("parallel", parallel={"dp": 1, "task": 2}))
+    assert t_par.mesh is not None and t_par.mesh.size == 2
+    t_par.run()
+
+    assert t_par.step_global == t_single.step_global
+    _leaves_close(
+        t_par.train_state.params, t_single.train_state.params, atol=3e-5
+    )
+
+
+def test_continual_er_parallel_smoke(tmp_path):
+    """The continual stream runs under a mesh (batches sharded through
+    the shared ``_unpack_batch`` path) and produces the full artifact
+    set; final params match the single-device stream."""
+    from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=3, utterances_per_speaker=4, seed=29,
+        min_dur=0.25, max_dur=0.35,
+    )
+
+    def mkparams(out, **extra):
+        params = synthetic_params(
+            root, n_speakers=3, batch_size=2,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            method="continual_er", experiment_name="er",
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, speaker_seed=11,
+            num_initial_speakers=0, n_max_epochs=1, test_interval=1,
+            early_stopping=False, buffer_sample_size=2,
+            buffer_batch_size=2, buffer_shuffle=True,
+            output_path=str(tmp_path / out),
+            optim={"optimizer_type": "SGD", "lr": "1e-2"},
+        )
+        params.update(extra)
+        return params
+
+    t_single = ExperienceReplayTrainer(**mkparams("single"))
+    t_single.run()
+
+    t_par = ExperienceReplayTrainer(
+        **mkparams("parallel", parallel={"dp": 2, "task": 1})
+    )
+    t_par.run()
+
+    assert t_par.step_global == t_single.step_global
+    assert sorted(t_par.cumutest_dict.keys()) == sorted(
+        t_single.cumutest_dict.keys()
+    )
+    _leaves_close(
+        t_par.train_state.params, t_single.train_state.params, atol=3e-5
+    )
+
+
+def test_parallel_trainer_resume_on_different_mesh(tmp_path):
+    """Elastic recovery end-to-end: preempt a (2,4)-mesh joint run after
+    epoch 1, resume it on a (4,2) mesh, and match the uninterrupted
+    single-device run."""
+    from msa_tts_tpu.trainers.baseline import JointTrainer
+    from msa_tts_tpu.utils.preemption import PreemptionGuard
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=7, seed=31,
+        min_dur=0.25, max_dur=0.4,
+    )
+
+    def mkparams(out, **extra):
+        params = synthetic_params(
+            root, n_speakers=2, batch_size=8, n_epochs=3,
+            do_metatest=False,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, output_path=str(tmp_path / out),
+            ckpt_save_epoch_interval=1,
+            optim={"optimizer_type": "SGD", "lr": "1e-2"},
+        )
+        params.update(extra)
+        return params
+
+    t_ref = JointTrainer(**mkparams("ref"))
+    t_ref.run()
+
+    class StopAfter1(JointTrainer):
+        def _test(self, epoch, rng):
+            super()._test(epoch, rng)
+            if epoch == 1:
+                PreemptionGuard.shared().request_stop()
+
+    guard = PreemptionGuard.shared()
+    guard.clear()
+    p_int = mkparams("elastic", parallel={"dp": 2, "task": 4})
+    try:
+        StopAfter1(**p_int).run()
+    finally:
+        guard.clear()
+
+    t_res = JointTrainer(
+        **dict(p_int, resume=True, parallel={"dp": 4, "task": 2})
+    )
+    t_res.run()
+
+    assert t_res.step_global == t_ref.step_global
+    _leaves_close(
+        t_res.train_state.params, t_ref.train_state.params, atol=3e-5
+    )
