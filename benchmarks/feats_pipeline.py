@@ -64,15 +64,65 @@ def time_native(wavs, threads):
     return time.time() - t0
 
 
+def run_resample(n: int, threads: int):
+    """Resample benchmark: scipy.resample_poly sequential vs the native
+    threaded polyphase engine, 48 kHz → 22.05 kHz (the prepare_vctk
+    rate; reference fans this out over a ProcessPool×20,
+    msa_tts/data_processing/prepare_vctk.py:64)."""
+    from scipy.signal import resample_poly
+
+    from msa_tts_tpu.native import resample_batch
+
+    rng = np.random.default_rng(1)
+    wavs = [
+        rng.standard_normal(48000 * 6).astype(np.float32)
+        for _ in range(n)
+    ]
+    total_audio_s = n * 6.0
+    resample_batch(wavs[:2], 147, 320)  # warmup/compile-cache
+    rows = []
+    for name, fn in [
+        ("scipy_sequential",
+         lambda: [resample_poly(w, 147, 320) for w in wavs]),
+        ("native_1_thread",
+         lambda: resample_batch(wavs, 147, 320, n_threads=1)),
+        (f"native_{threads}_threads",
+         lambda: resample_batch(wavs, 147, 320, n_threads=threads)),
+    ]:
+        t0 = time.time()
+        fn()
+        dt1 = time.time() - t0
+        t0 = time.time()
+        fn()
+        dt = min(dt1, time.time() - t0)
+        rows.append({
+            "impl": "resample_" + name,
+            "seconds": round(dt, 3),
+            "audio_sec_per_sec": round(total_audio_s / dt, 1),
+        })
+        print(json.dumps(rows[-1]))
+    print(json.dumps({
+        "resample_speedup_vs_scipy": round(
+            rows[0]["seconds"] / rows[-1]["seconds"], 2
+        ),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--threads", type=int,
                     default=min(os.cpu_count() or 1, 16))
+    ap.add_argument("--resample", action="store_true",
+                    help="benchmark the polyphase resampler instead")
     args = ap.parse_args()
 
     if not native_available():
         print(json.dumps({"error": "native lib unavailable"}))
+        return
+
+    if args.resample:
+        run_resample(args.n, args.threads)
         return
 
     wavs = make_wavs(args.n)

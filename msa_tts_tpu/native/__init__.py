@@ -99,6 +99,20 @@ def get_lib():
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.msa_resample_len.restype = ctypes.c_int64
+        lib.msa_resample_len.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.msa_resample_batch.restype = ctypes.c_int
+        lib.msa_resample_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),   # wavs
+            ctypes.POINTER(ctypes.c_int64),    # lens
+            ctypes.c_int,                      # n
+            ctypes.c_int,                      # up
+            ctypes.c_int,                      # down
+            ctypes.POINTER(ctypes.c_void_p),   # outs
+            ctypes.c_int,                      # n_threads
+        ]
         _lib = lib
         return _lib
 
@@ -207,6 +221,53 @@ def extract_logmels_batch(
         mels.append(bufs[i][: n_mels * frames].reshape(n_mels, frames))
         slices.append((int(t_start[i]), int(t_end[i])))
     return mels, slices
+
+
+def resample_batch(
+    wavs: list[np.ndarray], up: int, down: int,
+    *, n_threads: int | None = None,
+) -> list[np.ndarray] | None:
+    """Threaded polyphase resampling by the reduced rational rate
+    ``up/down`` (same filter design + alignment as
+    ``scipy.signal.resample_poly``'s default; parity asserted in
+    tests/test_native_feats.py).  Returns None when the native library
+    is unavailable — callers fall back to scipy."""
+    import math
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    n = len(wavs)
+    if n == 0:
+        return []
+    wavs32 = [np.ascontiguousarray(w, dtype=np.float32) for w in wavs]
+    outs = [
+        np.empty(int(lib.msa_resample_len(len(w), up, down)), np.float32)
+        for w in wavs32
+    ]
+    wav_ptrs = (ctypes.c_void_p * n)(
+        *[w.ctypes.data_as(ctypes.c_void_p).value for w in wavs32]
+    )
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    lens = (ctypes.c_int64 * n)(*[len(w) for w in wavs32])
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.msa_resample_batch(
+        wav_ptrs, lens, n, up, down, out_ptrs, n_threads
+    )
+    if rc != 0:
+        return None
+    return outs
+
+
+def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray | None:
+    """Single-signal convenience over :func:`resample_batch`."""
+    out = resample_batch([wav], target_sr, orig_sr, n_threads=1)
+    return None if out is None else out[0]
 
 
 def trim_slice(

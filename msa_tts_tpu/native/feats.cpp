@@ -345,9 +345,152 @@ void process_one(const Config& cfg, const FftPlan& plan, const Job& job,
   }
 }
 
+// ------------------------------------------------------------ resampler
+// Rational polyphase resampling (up/down after gcd reduction) with the
+// same filter design scipy.signal.resample_poly uses by default — a
+// kaiser(beta=5.0)-windowed sinc lowpass, 10*max(up,down) taps per
+// side, cutoff 1/max(up,down) of Nyquist, unity DC gain, scaled by
+// ``up`` — and the same output alignment, so the numpy fallback in
+// ops/audio.py load_wav and this engine agree to float32 rounding
+// (tests/test_native_feats.py).  Accumulation is double throughout,
+// matching numpy's float32×float64 promotion.
+
+double bessel_i0(double x) {
+  // modified Bessel I0 by its power series; converges quickly for the
+  // |x| <= beta range a kaiser window evaluates
+  double sum = 1.0, term = 1.0;
+  const double q = x * x / 4.0;
+  for (int k = 1; k < 500; ++k) {
+    term *= q / (static_cast<double>(k) * static_cast<double>(k));
+    sum += term;
+    if (term < 1e-18 * sum) break;
+  }
+  return sum;
+}
+
+std::vector<double> design_resample_filter(int up, int down) {
+  const int max_rate = up > down ? up : down;
+  const double f_c = 1.0 / max_rate;        // Nyquist-normalized cutoff
+  const int half_len = 10 * max_rate;
+  const int n_taps = 2 * half_len + 1;
+  std::vector<double> h(n_taps);
+  const double alpha = 0.5 * (n_taps - 1);
+  const double beta = 5.0;
+  const double i0b = bessel_i0(beta);
+  double dc = 0.0;
+  for (int i = 0; i < n_taps; ++i) {
+    const double m = i - alpha;
+    const double s =
+        (m == 0.0) ? f_c : std::sin(kPi * f_c * m) / (kPi * m);
+    const double r = 2.0 * i / static_cast<double>(n_taps - 1) - 1.0;
+    const double w =
+        bessel_i0(beta * std::sqrt(1.0 - r * r > 0 ? 1.0 - r * r : 0.0)) /
+        i0b;
+    h[i] = s * w;
+    dc += h[i];
+  }
+  const double g = static_cast<double>(up) / dc;  // unity DC gain × up
+  for (auto& v : h) v *= g;
+  return h;
+}
+
+int64_t resample_out_len(int64_t n_in, int up, int down) {
+  const int64_t prod = n_in * static_cast<int64_t>(up);
+  return prod / down + (prod % down != 0 ? 1 : 0);
+}
+
+// Polyphase branch table: hp[p][j] = h[p + j*up], zero-padded to a
+// common branch length — per-output tap access becomes contiguous
+// instead of striding by ``up`` through the prototype filter.
+struct PolyphaseFilter {
+  int up = 0;
+  int n_taps = 0;                // prototype length (before padding)
+  int branch_len = 0;            // ceil(n_taps / up)
+  std::vector<double> hp;        // up × branch_len, row-major
+
+  PolyphaseFilter(const std::vector<double>& h, int up_)
+      : up(up_), n_taps(static_cast<int>(h.size())) {
+    branch_len = (n_taps + up - 1) / up;
+    hp.assign(static_cast<size_t>(up) * branch_len, 0.0);
+    for (int t = 0; t < n_taps; ++t) {
+      hp[static_cast<size_t>(t % up) * branch_len + t / up] = h[t];
+    }
+  }
+};
+
+void resample_one(const float* x, int64_t n_in, int up, int down,
+                  const PolyphaseFilter& pf, float* out) {
+  if (up == down) {
+    std::memcpy(out, x, sizeof(float) * n_in);
+    return;
+  }
+  // scipy's alignment: h is front-padded with (down - half_len % down)
+  // zeros and the first (half_len + pad) / down outputs are dropped;
+  // folding both into the tap-time offset avoids materializing pads.
+  const int hl = (pf.n_taps - 1) / 2;
+  const int n_pre_pad = down - (hl % down);
+  const int64_t n_pre_remove = (hl + n_pre_pad) / down;
+  const int64_t n_out = resample_out_len(n_in, up, down);
+  const int L = pf.branch_len;
+  for (int64_t k = 0; k < n_out; ++k) {
+    const int64_t s =
+        (k + n_pre_remove) * static_cast<int64_t>(down) - n_pre_pad;
+    // tap t = s - n*up ∈ [0, n_taps): phase p = s % up is constant per
+    // output; branch index j walks x backwards from q = (s - p) / up
+    const int p = static_cast<int>(s % up);
+    const int64_t q = s / up;
+    int64_t j_lo = q - (n_in - 1);
+    if (j_lo < 0) j_lo = 0;
+    int64_t j_hi = q < L - 1 ? q : L - 1;
+    const double* hb = &pf.hp[static_cast<size_t>(p) * L];
+    double acc = 0.0;
+    for (int64_t j = j_lo; j <= j_hi; ++j) {
+      acc += hb[j] * static_cast<double>(x[q - j]);
+    }
+    out[k] = static_cast<float>(acc);
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Output length of msa_resample_batch for one signal (ceil(n*up/down)).
+int64_t msa_resample_len(int64_t n_in, int up, int down) {
+  return resample_out_len(n_in, up, down);
+}
+
+// Threaded batch polyphase resampling.  up/down must be the reduced
+// rational rate (gcd == 1); outs[i] must hold msa_resample_len(lens[i])
+// float32 samples.  Returns 0 on success.
+int msa_resample_batch(const float** wavs, const int64_t* lens, int n,
+                       int up, int down, float** outs, int n_threads) {
+  if (up <= 0 || down <= 0 || n < 0) return 1;
+  const PolyphaseFilter pf(
+      (up == down) ? std::vector<double>{0.0}
+                   : design_resample_filter(up, down),
+      up);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      resample_one(wavs[i], lens[i], up, down, pf, outs[i]);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
 
 // Batched threaded extraction.  Per utterance i:
 //   wavs[i]           float32 waveform of wav_lens[i] samples

@@ -453,9 +453,12 @@ def griffinlim_logmelspec(log_melspec, audio_params: dict,
 # --------------------------------------------------------------------------
 
 def load_wav(path: str, target_sample_rate: int | None = None) -> np.ndarray:
-    """Load a wav file, normalize to peak 1.0, resample if needed."""
+    """Load a wav file, normalize to peak 1.0, resample if needed.
+
+    Resampling runs in the native C++ polyphase engine when available
+    (same filter design and alignment as ``scipy.signal.resample_poly``,
+    parity-tested) and falls back to scipy otherwise."""
     from scipy.io import wavfile
-    from scipy.signal import resample_poly
 
     sr, data = wavfile.read(path)
     data = np.asarray(data, dtype=np.float32)
@@ -465,10 +468,18 @@ def load_wav(path: str, target_sample_rate: int | None = None) -> np.ndarray:
     if peak > 0:
         data = data / peak
     if target_sample_rate is not None and sr != target_sample_rate:
-        g = math.gcd(int(target_sample_rate), int(sr))
-        data = resample_poly(
-            data, target_sample_rate // g, sr // g
-        ).astype(np.float32)
+        from ..native import resample as native_resample
+
+        out = native_resample(data, int(sr), int(target_sample_rate))
+        if out is not None:
+            data = out
+        else:
+            from scipy.signal import resample_poly
+
+            g = math.gcd(int(target_sample_rate), int(sr))
+            data = resample_poly(
+                data, target_sample_rate // g, sr // g
+            ).astype(np.float32)
     return data
 
 

@@ -1,0 +1,384 @@
+"""Production TTS serving: dynamic batching + HTTP front end.
+
+The reference serves nothing — inference is an offline script
+(msa_tts/infer.py).  This module turns :class:`serving.AdaptiveTTS`
+into a deployable service shaped around how the TPU actually earns its
+throughput (BENCHMARKS.md: 117× realtime at B=1 but 2,000× aggregate at
+B=16 for the acoustic model; 412× for batched HiFi-GAN):
+
+* :class:`DynamicBatcher` — a single executor thread owns the device
+  (JAX is single-controller; one thread issuing work avoids interleaved
+  dispatch).  Concurrent requests accumulate for up to ``window_ms`` or
+  ``max_batch`` and execute as ONE compiled batched synthesis per
+  (voice, vocoder) group.
+* Shape bucketing — batch sizes snap to ``batch_buckets`` and text
+  lengths to ``text_pad_multiple`` (via ``synthesize_batch``'s pad
+  options), so steady-state serving runs from a small fixed set of XLA
+  programs instead of compiling per request mix.
+* :class:`TTSServer` — a stdlib ``ThreadingHTTPServer`` front end:
+  ``POST /synthesize`` ``{"text": ..., "voice": ..., "vocoder": ...}``
+  → ``audio/wav``; ``GET /voices``, ``GET /stats``, ``GET /health``.
+  No extra dependencies.
+
+Latency/throughput knob: ``window_ms=0`` degenerates to per-request
+execution (lowest latency); larger windows trade tail latency for
+aggregate throughput under load.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Sequence
+
+import numpy as np
+
+from .serving import AdaptiveTTS, Voice
+
+
+@dataclass
+class _Request:
+    text: str
+    voice: str | None
+    vocoder: str
+    future: Future = field(default_factory=Future)
+    t_enqueue: float = field(default_factory=time.monotonic)
+
+
+class ServerStats:
+    """Thread-safe rolling serving metrics."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.batches_total = 0
+        self.batched_requests_total = 0
+        self._latencies = deque(maxlen=window)
+
+    def record_batch(self, n: int) -> None:
+        with self._lock:
+            self.batches_total += 1
+            self.batched_requests_total += n
+
+    def record_request(self, latency_s: float, error: bool) -> None:
+        with self._lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            else:
+                self._latencies.append(latency_s)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            pct = (
+                lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+                if lat else None
+            )
+            mean_batch = (
+                self.batched_requests_total / self.batches_total
+                if self.batches_total else None
+            )
+            return {
+                "requests_total": self.requests_total,
+                "errors_total": self.errors_total,
+                "batches_total": self.batches_total,
+                "mean_batch_size": mean_batch,
+                "latency_p50_s": pct(0.50),
+                "latency_p95_s": pct(0.95),
+            }
+
+
+class DynamicBatcher:
+    """Accumulate concurrent synthesis requests into batched device
+    calls.  ``synth_fn(texts, voice_name, vocoder, pad_batch_to)`` must
+    return one waveform per text."""
+
+    def __init__(
+        self,
+        synth_fn,
+        *,
+        max_batch: int = 8,
+        window_ms: float = 25.0,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        stats: ServerStats | None = None,
+    ):
+        self._synth = synth_fn
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.stats = stats or ServerStats()
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- api
+    def start(self) -> "DynamicBatcher":
+        self._thread = threading.Thread(
+            target=self._loop, name="msa-tts-batcher", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, text: str, voice: str | None = None,
+               vocoder: str = "griffinlim") -> Future:
+        req = _Request(text=text, voice=voice, vocoder=vocoder)
+        self._q.put(req)
+        return req.future
+
+    def bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
+    # ---------------------------------------------------------- worker
+    def _collect(self) -> list[_Request]:
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            # homogeneous device calls: group by (voice, vocoder)
+            groups: dict = {}
+            for r in batch:
+                groups.setdefault((r.voice, r.vocoder), []).append(r)
+            for (voice, vocoder), reqs in groups.items():
+                self._run_group(voice, vocoder, reqs)
+
+    def _run_group(self, voice, vocoder, reqs: list[_Request]) -> None:
+        t0 = time.monotonic()
+        try:
+            wavs = self._synth(
+                [r.text for r in reqs], voice, vocoder,
+                self.bucket(len(reqs)),
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced per request
+            import traceback
+
+            print(f"[server] batch of {len(reqs)} failed: {e!r}",
+                  flush=True)
+            traceback.print_exc()
+            for r in reqs:
+                r.future.set_exception(e)
+                self.stats.record_request(
+                    time.monotonic() - r.t_enqueue, error=True
+                )
+            return
+        self.stats.record_batch(len(reqs))
+        t1 = time.monotonic()
+        del t0, t1
+        for r, w in zip(reqs, wavs):
+            r.future.set_result(w)
+            self.stats.record_request(
+                time.monotonic() - r.t_enqueue, error=False
+            )
+
+
+class TTSServer:
+    """HTTP serving front end over :class:`AdaptiveTTS`.
+
+        server = TTSServer(tts)
+        server.register_voice("alice", voice)
+        port = server.start()          # daemon thread
+        # POST http://host:port/synthesize {"text": "...", "voice": "alice"}
+        server.stop()
+    """
+
+    def __init__(
+        self,
+        tts: AdaptiveTTS,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        default_spk_emb: np.ndarray | None = None,
+        max_batch: int = 8,
+        window_ms: float = 25.0,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        text_pad_multiple: int = 16,
+        request_timeout_s: float = 300.0,
+    ):
+        self.tts = tts
+        self.host = host
+        self._port = port
+        self.text_pad_multiple = int(text_pad_multiple)
+        self.request_timeout_s = float(request_timeout_s)
+        self._voices: dict[str, Voice] = {}
+        self._default_spk_emb = (
+            np.asarray(default_spk_emb, np.float32)
+            if default_spk_emb is not None else None
+        )
+        self.stats = ServerStats()
+        self.batcher = DynamicBatcher(
+            self._synth_group, max_batch=max_batch, window_ms=window_ms,
+            batch_buckets=batch_buckets, stats=self.stats,
+        )
+        self._httpd: ThreadingHTTPServer | None = None
+        self._http_thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- api
+    def register_voice(self, name: str, voice: Voice) -> None:
+        self._voices[name] = voice
+
+    def start(self) -> int:
+        """Start batcher + HTTP listener; returns the bound port."""
+        self.batcher.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self.host, self._port), handler)
+        self._port = self._httpd.server_address[1]
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="msa-tts-http",
+            daemon=True,
+        )
+        self._http_thread.start()
+        return self._port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._http_thread is not None:
+            self._http_thread.join(timeout=30)
+            self._http_thread = None
+        self.batcher.stop()
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    def warmup(self, texts: Sequence[str],
+               vocoder: str = "griffinlim") -> None:
+        """Pre-compile every (batch bucket × text-length bucket) XLA
+        program for representative ``texts`` so the first real traffic
+        sees steady-state latency — run once at deploy, before opening
+        the port to load.  Covers the acoustic decode and the vocoder
+        batch shapes the given texts produce."""
+        buckets = [
+            b for b in self.batcher.batch_buckets
+            if b <= self.batcher.max_batch
+        ]
+        for b in buckets:
+            for t in texts:
+                self._synth_group([t] * b, None, vocoder, b)
+
+    # ------------------------------------------------------ device call
+    def _synth_group(self, texts, voice_name, vocoder, pad_batch_to):
+        voice = None
+        spk_emb = self._default_spk_emb
+        if voice_name is not None:
+            voice = self._voices.get(voice_name)
+            if voice is None:
+                raise KeyError(f"unknown voice: {voice_name!r}")
+        elif spk_emb is None:
+            raise ValueError(
+                "no voice given and the server has no default_spk_emb"
+            )
+        return self.tts.synthesize_batch(
+            texts, voice, vocoder=vocoder, spk_emb=spk_emb,
+            text_pad_multiple=self.text_pad_multiple,
+            pad_batch_to=pad_batch_to,
+        )
+
+    # ------------------------------------------------------------- wavs
+    def encode_wav(self, wav: np.ndarray) -> bytes:
+        from scipy.io import wavfile
+
+        sr = int(self.tts.params["audio_params"]["sample_rate"])
+        wav = np.asarray(wav, dtype=np.float32)
+        peak = float(np.max(np.abs(wav))) if wav.size else 0.0
+        if peak > 1.0:
+            wav = wav / peak
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (wav * 32767.0).astype(np.int16))
+        return buf.getvalue()
+
+
+def _make_handler(server: TTSServer):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; errors still surface via status codes
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send_json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/health":
+                self._send_json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send_json(200, server.stats.snapshot())
+            elif self.path == "/voices":
+                self._send_json(
+                    200, {"voices": sorted(server._voices.keys())}
+                )
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            if self.path != "/synthesize":
+                self._send_json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError("'text' must be a non-empty string")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            fut = server.batcher.submit(
+                text, req.get("voice"), req.get("vocoder", "griffinlim")
+            )
+            try:
+                wav = fut.result(timeout=server.request_timeout_s)
+            except Exception as e:  # noqa: BLE001 — client-facing error
+                self._send_json(500, {"error": str(e)})
+                return
+            body = server.encode_wav(wav)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler

@@ -221,11 +221,18 @@ class AdaptiveTTS:
         self, texts: Sequence[str], voice: Voice | None = None,
         *, vocoder: str = "griffinlim", rng: jax.Array | None = None,
         spk_emb: np.ndarray | None = None,
+        text_pad_multiple: int = 1, pad_batch_to: int | None = None,
     ) -> list[np.ndarray]:
         """Batched text → waveforms: ONE compiled autoregressive decode
         over all texts (2,000×-realtime aggregate at B=16, BENCHMARKS.md)
         and, with the wavernn vocoder, one batched sample scan over all
-        utterances' folds (``WaveRNN.generate_batch``)."""
+        utterances' folds (``WaveRNN.generate_batch``).
+
+        ``text_pad_multiple`` / ``pad_batch_to`` quantize the padded
+        (B, T) shape so a serving deployment compiles a bounded set of
+        XLA programs instead of one per request mix; padded rows
+        replicate row 0 and are discarded from the result.
+        """
         params = voice.params if voice else self.model_params
         state = voice.model_state if voice else self.model_state
         emb = voice.spk_emb if voice else np.asarray(spk_emb, np.float32)
@@ -237,15 +244,22 @@ class AdaptiveTTS:
             for t in texts
         ]
         B = len(seqs)
+        Bp = max(B, pad_batch_to or B)
         T = max(len(s) for s in seqs)
-        inputs = np.zeros((B, T), np.int32)
+        m = max(int(text_pad_multiple), 1)
+        T = ((T + m - 1) // m) * m
+        inputs = np.zeros((Bp, T), np.int32)
+        in_len = np.empty((Bp,), np.int32)
         for i, s in enumerate(seqs):
             inputs[i, : len(s)] = s
-        in_len = np.asarray([len(s) for s in seqs], np.int32)
+            in_len[i] = len(s)
+        for i in range(B, Bp):  # filler rows: replicate row 0
+            inputs[i] = inputs[0]
+            in_len[i] = in_len[0]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         mel, mel_len, _ = self._infer_jit(
             params, state, jnp.asarray(inputs), jnp.asarray(in_len),
-            jnp.asarray(np.tile(emb[None], (B, 1))), rng,
+            jnp.asarray(np.tile(emb[None], (Bp, 1))), rng,
         )
         mel = np.asarray(mel)
         mels = [
@@ -268,13 +282,41 @@ class AdaptiveTTS:
         if vocoder == "none":
             return mels
         if vocoder == "griffinlim":
-            return [
-                np.asarray(
-                    griffinlim_logmelspec(
-                        jnp.asarray(m), self.params["audio_params"]
-                    )
+            # jitted + cached per mel shape: eager Griffin-Lim dispatches
+            # dozens of ops per call, which a high-latency device link
+            # turns into seconds (serving-path measurement, BENCHMARKS.md)
+            ap = self.params["audio_params"]
+            if not hasattr(self, "_gl_jit"):
+                self._gl_jit = jax.jit(
+                    lambda m: griffinlim_logmelspec(m, ap)
+                )
+                self._gl_batch_jit = jax.jit(
+                    jax.vmap(lambda m: griffinlim_logmelspec(m, ap))
+                )
+            if len(mels) == 1:
+                return [np.asarray(self._gl_jit(jnp.asarray(mels[0])))]
+            # ONE batched inversion for the whole group: pad every mel
+            # to a common (multiple-quantized) frame count with its own
+            # silence floor, snap the batch to a power-of-two bucket
+            # (bounds compile count), vmap, and cut each wav back
+            hop = ap.get("hop_length", ap.get("hop_size"))
+            B = len(mels)
+            Bp = 1 << (B - 1).bit_length()
+            t_max = max(m.shape[1] for m in mels)
+            t_max = ((t_max + 31) // 32) * 32
+            padded = [
+                np.pad(
+                    m, ((0, 0), (0, t_max - m.shape[1])),
+                    constant_values=float(m.min()),
                 )
                 for m in mels
+            ]
+            padded += [padded[-1]] * (Bp - B)
+            wavs = np.asarray(
+                self._gl_batch_jit(jnp.asarray(np.stack(padded)))
+            )
+            return [
+                wavs[i][: m.shape[1] * hop] for i, m in enumerate(mels)
             ]
         if vocoder == "wavernn":
             voc = self._vocoders.get("wavernn")

@@ -150,3 +150,65 @@ def test_dataset_native_equals_numpy(tmp_path):
         # 2e-4 absolute on a log-mel is far below any training effect.
         np.testing.assert_allclose(a.mel, b.mel, atol=2e-4)
         np.testing.assert_array_equal(a.phonemes, b.phonemes)
+
+
+# ------------------------------------------------------------- resampler
+def test_resample_parity_vs_scipy():
+    """Native polyphase resampler vs scipy.signal.resample_poly default
+    (kaiser 5.0, 10*max(up,down) half-length, matched alignment) across
+    the rate pairs the prep scripts use, on awkward odd lengths."""
+    from scipy.signal import resample_poly
+    import math
+    from msa_tts_tpu.native import resample_batch
+
+    rng = np.random.default_rng(3)
+    pairs = [(48000, 22050), (22050, 16000), (16000, 22050),
+             (44100, 22050), (8000, 22050)]
+    for orig, target in pairs:
+        for n in (4801, 22050, 100001):
+            x = rng.standard_normal(n).astype(np.float32)
+            g = math.gcd(target, orig)
+            up, down = target // g, orig // g
+            ref = resample_poly(x, up, down).astype(np.float32)
+            out = resample_batch([x], up, down)[0]
+            assert out.shape == ref.shape, (orig, target, n)
+            np.testing.assert_allclose(
+                out, ref, atol=2e-6,
+                err_msg=f"resample {orig}->{target}, n={n}",
+            )
+
+
+def test_resample_identity_and_batch_threading():
+    from msa_tts_tpu.native import resample_batch
+
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(n).astype(np.float32)
+            for n in (1000, 4801, 50000, 123457)]
+    # identity rate: exact copy
+    same = resample_batch([wavs[0]], 22050, 22050)
+    np.testing.assert_array_equal(same[0], wavs[0])
+    # thread pool bit-identical to single thread
+    a = resample_batch(wavs, 147, 320, n_threads=1)
+    b = resample_batch(wavs, 147, 320, n_threads=4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_load_wav_native_resample(tmp_path):
+    """load_wav's native resample path matches the scipy fallback."""
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    rng = np.random.default_rng(7)
+    wav48 = (rng.standard_normal(48000) * 0.25).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    wavfile.write(path, 48000, (wav48 * 32767).astype(np.int16))
+
+    out = A.load_wav(path, target_sample_rate=22050)
+    raw = np.asarray(
+        wavfile.read(path)[1], np.float32
+    )
+    raw /= np.max(np.abs(raw))
+    ref = resample_poly(raw, 147, 320).astype(np.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-6)

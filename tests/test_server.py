@@ -1,0 +1,202 @@
+"""Serving layer: dynamic batcher semantics, shape-bucketed batched
+synthesis, and the HTTP front end (all beyond the reference, which has
+no serving at all)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from msa_tts_tpu.dataloaders.synthetic import synthetic_params
+from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+from msa_tts_tpu.server import DynamicBatcher, ServerStats, TTSServer
+from msa_tts_tpu.serving import AdaptiveTTS
+from msa_tts_tpu.utils.g2p.char_list import N_SYMBOLS
+
+SPK_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def tts(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("srv"))
+    params = synthetic_params(root, n_speakers=1)
+    mp = dict(params["model"])
+    mp["n_mel_channels"] = params["audio_params"]["n_mels"]
+    mp["n_symbols"] = N_SYMBOLS
+    mp["num_speakers"] = 1
+    mp["max_decoder_steps"] = 20
+    # random weights: the gate would fire at step 1 otherwise
+    mp["decoder_no_early_stopping"] = True
+    params["model"] = mp
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    return AdaptiveTTS(params, p0, s0)
+
+
+# ----------------------------------------------------------- batcher unit
+def test_batcher_coalesces_queued_requests():
+    calls = []
+
+    def synth(texts, voice, vocoder, pad_batch_to):
+        calls.append((tuple(texts), voice, vocoder, pad_batch_to))
+        return [t.upper() for t in texts]
+
+    b = DynamicBatcher(synth, max_batch=8, window_ms=50)
+    futs = [b.submit(f"t{i}") for i in range(4)]  # queued before start
+    b.start()
+    results = [f.result(timeout=10) for f in futs]
+    b.stop()
+
+    assert results == ["T0", "T1", "T2", "T3"]
+    assert len(calls) == 1  # one device call for all four
+    assert calls[0][3] == 4  # snapped to the 4-bucket
+    snap = b.stats.snapshot()
+    assert snap["requests_total"] == 4
+    assert snap["batches_total"] == 1
+    assert snap["mean_batch_size"] == 4.0
+
+
+def test_batcher_groups_by_voice_and_vocoder():
+    calls = []
+
+    def synth(texts, voice, vocoder, pad_batch_to):
+        calls.append((tuple(texts), voice, vocoder))
+        return list(texts)
+
+    b = DynamicBatcher(synth, max_batch=8, window_ms=50)
+    f1 = b.submit("a", voice="v1")
+    f2 = b.submit("b", voice="v2")
+    f3 = b.submit("c", voice="v1")
+    b.start()
+    for f in (f1, f2, f3):
+        f.result(timeout=10)
+    b.stop()
+
+    keys = {(c[1], c[2]): c[0] for c in calls}
+    assert keys[("v1", "griffinlim")] == ("a", "c")
+    assert keys[("v2", "griffinlim")] == ("b",)
+    assert len(calls) == 2
+
+
+def test_batcher_error_propagates_per_request():
+    def synth(texts, voice, vocoder, pad_batch_to):
+        raise RuntimeError("device on fire")
+
+    b = DynamicBatcher(synth, max_batch=4, window_ms=10)
+    f = b.submit("x")
+    b.start()
+    with pytest.raises(RuntimeError, match="device on fire"):
+        f.result(timeout=10)
+    b.stop()
+    assert b.stats.snapshot()["errors_total"] == 1
+
+
+def test_bucket_snapping():
+    b = DynamicBatcher(lambda *a: [], batch_buckets=(1, 2, 4, 8))
+    assert [b.bucket(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 8]
+
+
+def test_stats_percentiles():
+    s = ServerStats()
+    for ms in (1, 2, 3, 4, 100):
+        s.record_request(ms / 1e3, error=False)
+    snap = s.snapshot()
+    assert snap["latency_p50_s"] == pytest.approx(0.003)
+    assert snap["latency_p95_s"] == pytest.approx(0.1)
+
+
+# --------------------------------------------- batched synthesis padding
+def test_synthesize_batch_shape_bucketing(tts):
+    """Padded (B, T) synthesis returns exactly len(texts) results and is
+    deterministic for a fixed rng."""
+    texts = ["hello world", "hi"]
+    kw = dict(
+        spk_emb=np.zeros(SPK_DIM, np.float32), vocoder="none",
+        text_pad_multiple=16, pad_batch_to=4,
+        rng=jax.random.PRNGKey(7),
+    )
+    out1 = tts.synthesize_batch(texts, **kw)
+    out2 = tts.synthesize_batch(texts, **kw)
+    assert len(out1) == 2
+    for a, b in zip(out1, out2):
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+
+
+# --------------------------------------------------------- http end-to-end
+def test_http_server_end_to_end(tts):
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=10.0,
+    )
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        req = urllib.request.Request(
+            base + "/synthesize",
+            data=json.dumps({"text": "hello world"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        assert body[:4] == b"RIFF" and len(body) > 1000
+
+        # concurrent requests coalesce while the worker is busy
+        results = []
+
+        def fire(i):
+            rq = urllib.request.Request(
+                base + "/synthesize",
+                data=json.dumps({"text": f"hello number {i}"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(rq, timeout=600) as rr:
+                results.append((rr.status, rr.read()[:4]))
+
+        threads = [
+            threading.Thread(target=fire, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 4
+        assert all(s == 200 and h == b"RIFF" for s, h in results)
+
+        snap = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=30).read()
+        )
+        assert snap["requests_total"] == 5
+        assert snap["errors_total"] == 0
+        assert snap["batches_total"] <= snap["requests_total"]
+
+        # malformed request → 400; unknown voice → 500
+        bad = urllib.request.Request(
+            base + "/synthesize", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        unk = urllib.request.Request(
+            base + "/synthesize",
+            data=json.dumps({"text": "hi", "voice": "ghost"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(unk, timeout=60)
+        assert ei.value.code == 500
+
+        with urllib.request.urlopen(base + "/voices", timeout=30) as r:
+            assert json.loads(r.read())["voices"] == []
+    finally:
+        server.stop()
