@@ -327,6 +327,74 @@ class TTSServer:
         return buf.getvalue()
 
 
+def main(argv=None):
+    """Serve a trained experiment over HTTP:
+
+        python -m msa_tts_tpu.server --experiment_path <dir> \\
+            [--checkpoint_id 0] [--port 8080] [--speaker p225] \\
+            [--voices_dir voices/] [--warmup_text "..."]
+
+    The default voice comes from the experiment's ``spk_emb.pkl``
+    (``--speaker`` picks one; otherwise the first). ``--voices_dir``
+    registers every ``*.voice`` file (written by
+    ``AdaptiveTTS.save_voice``) under its stem name.
+    """
+    import argparse
+    import glob
+    import os
+    import pickle
+
+    ap = argparse.ArgumentParser(description="msa_tts_tpu HTTP server")
+    ap.add_argument("--experiment_path", required=True)
+    ap.add_argument("--checkpoint_id", default="0")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--window_ms", type=float, default=25.0)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--speaker", default=None)
+    ap.add_argument("--voices_dir", default=None)
+    ap.add_argument("--warmup_text", action="append", default=None)
+    args = ap.parse_args(argv)
+
+    tts = AdaptiveTTS.from_experiment(
+        args.experiment_path, args.checkpoint_id
+    )
+    emb = None
+    emb_path = tts.params.get("spk_emb_path")
+    if emb_path and os.path.exists(emb_path):
+        with open(emb_path, "rb") as f:
+            table = pickle.load(f)
+        key = args.speaker or sorted(table.keys())[0]
+        v = table[key]
+        emb = np.asarray(
+            v["mean"] if isinstance(v, dict) else v, np.float32
+        )
+        print(f"[server] default voice: speaker {key!r}")
+
+    server = TTSServer(
+        tts, host=args.host, port=args.port, default_spk_emb=emb,
+        window_ms=args.window_ms, max_batch=args.max_batch,
+    )
+    if args.voices_dir:
+        for p in sorted(glob.glob(os.path.join(args.voices_dir,
+                                               "*.voice"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            server.register_voice(name, tts.load_voice(p))
+            print(f"[server] registered voice {name!r}")
+
+    port = server.start()
+    if args.warmup_text:
+        print("[server] warming compile caches ...")
+        server.warmup(args.warmup_text)
+    print(f"[server] listening on http://{args.host}:{port}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        print("[server] shutting down")
+        server.stop()
+
+
 def _make_handler(server: TTSServer):
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; errors still surface via status codes
@@ -382,3 +450,7 @@ def _make_handler(server: TTSServer):
             self.wfile.write(body)
 
     return Handler
+
+
+if __name__ == "__main__":
+    main()

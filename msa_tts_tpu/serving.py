@@ -192,6 +192,33 @@ class AdaptiveTTS:
             support_loss=float(qloss),
         )
 
+    # ---------------------------------------------------- voice storage
+    def save_voice(self, voice: Voice, path: str) -> None:
+        """Persist an adapted voice (full adapted params + BN state +
+        d-vector) as one atomic msgpack file — adapt once at onboarding,
+        serve forever."""
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, {
+            "params": voice.params,
+            "model_state": voice.model_state,
+            "spk_emb": np.asarray(voice.spk_emb, np.float32),
+            "support_loss": np.float32(voice.support_loss),
+        })
+
+    def load_voice(self, path: str) -> Voice:
+        from .utils.checkpoint import load_checkpoint, restore_like
+
+        raw = load_checkpoint(path)
+        return Voice(
+            params=restore_like(self.model_params, raw["params"]),
+            model_state=restore_like(
+                self.model_state, raw["model_state"]
+            ),
+            spk_emb=np.asarray(raw["spk_emb"], np.float32),
+            support_loss=float(raw["support_loss"]),
+        )
+
     # -------------------------------------------------------- synthesize
     def synthesize(self, text: str, voice: Voice | None = None,
                    *, vocoder: str = "griffinlim",
@@ -331,5 +358,7 @@ class AdaptiveTTS:
                 raise ValueError(
                     "attach_vocoder('hifigan', HiFiGAN(...)) first"
                 )
+            if len(mels) > 1 and hasattr(voc, "inference_batch"):
+                return voc.inference_batch(mels)
             return [np.asarray(voc.inference(m)) for m in mels]
         raise ValueError(f"unknown vocoder: {vocoder}")

@@ -252,8 +252,50 @@ class HiFiGAN:
             lambda p, mel: generator_apply(p, dict(self.h), mel)
         )
 
+    @classmethod
+    def from_params(cls, params, h: dict) -> "HiFiGAN":
+        """Wrap an in-memory generator (e.g. one trained by
+        trainers/hifigan_train.py) without a checkpoint file."""
+        obj = cls.__new__(cls)
+        obj.h = AttrDict(h)
+        obj.params = params
+        obj._apply = jax.jit(
+            lambda p, mel: generator_apply(p, dict(obj.h), mel)
+        )
+        return obj
+
     def inference(self, mel):
         mel = jnp.asarray(mel)
         if mel.ndim == 2:
             mel = mel[None]
         return self._apply(self.params, mel)[0]
+
+    def inference_batch(self, mels) -> list:
+        """ONE generator pass for variably-sized mels: each is padded to
+        a shared 32-multiple frame count with its own silence floor, the
+        batch snaps to a power-of-two bucket (bounds XLA compiles in
+        serving), and each waveform is cut back to frames·hop samples."""
+        import numpy as np
+
+        hop = 1
+        for u in self.h.upsample_rates:
+            hop *= u
+        arr = [np.asarray(m) for m in mels]
+        B = len(arr)
+        if B == 1:
+            return [np.asarray(self.inference(arr[0]))]
+        Bp = 1 << (B - 1).bit_length()
+        t_max = max(m.shape[1] for m in arr)
+        t_max = ((t_max + 31) // 32) * 32
+        padded = [
+            np.pad(
+                m, ((0, 0), (0, t_max - m.shape[1])),
+                constant_values=float(m.min()),
+            )
+            for m in arr
+        ]
+        padded += [padded[-1]] * (Bp - B)
+        wavs = np.asarray(
+            self._apply(self.params, jnp.asarray(np.stack(padded)))
+        )
+        return [wavs[i][: m.shape[1] * hop] for i, m in enumerate(arr)]

@@ -393,3 +393,31 @@ def test_wavernn_bf16_generation_close_to_fp32(rng):
     assert w16.shape == w32.shape
     assert np.isfinite(w16).all() and np.abs(w16).max() <= 1.0
     assert abs(w16[0] - w32[0]) < 0.15
+
+
+def test_hifigan_inference_batch_matches_single(rng):
+    """inference_batch pads/stacks variably-sized mels into one
+    generator pass and must agree with per-mel inference on the
+    unpadded regions (convs are local, so padding only perturbs a
+    receptive-field-sized tail — compare the interior exactly)."""
+    from msa_tts_tpu.vocoders.hifigan import HiFiGAN, init_generator
+
+    params = init_generator(rng, H_TINY, n_mels=20)
+    voc = HiFiGAN.from_params(params, H_TINY)
+    r = np.random.default_rng(1)
+    mels = [
+        r.standard_normal((20, t)).astype(np.float32)
+        for t in (13, 29, 32)
+    ]
+    hop = 16  # 4·4
+    singles = [np.asarray(voc.inference(m)) for m in mels]
+    batched = voc.inference_batch(mels)
+    # receptive field of the tiny config is well under 8 frames → 8·hop
+    guard = 8 * hop
+    for s, b, m in zip(singles, batched, mels):
+        n = m.shape[1] * hop
+        assert b.shape == (n,)
+        np.testing.assert_allclose(
+            b[: n - guard], s[: n - guard], atol=1e-5,
+            err_msg=f"T={m.shape[1]}",
+        )
