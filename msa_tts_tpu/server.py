@@ -134,6 +134,17 @@ class DynamicBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        # fail any requests still queued behind the sentinel — their
+        # clients get an immediate error instead of a full timeout
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None and not r.future.done():
+                r.future.set_exception(
+                    RuntimeError("server shutting down")
+                )
 
     def submit(self, text: str, voice: str | None = None,
                vocoder: str = "griffinlim") -> Future:
@@ -180,7 +191,6 @@ class DynamicBatcher:
                 self._run_group(voice, vocoder, reqs)
 
     def _run_group(self, voice, vocoder, reqs: list[_Request]) -> None:
-        t0 = time.monotonic()
         try:
             wavs = self._synth(
                 [r.text for r in reqs], voice, vocoder,
@@ -199,8 +209,6 @@ class DynamicBatcher:
                 )
             return
         self.stats.record_batch(len(reqs))
-        t1 = time.monotonic()
-        del t0, t1
         for r, w in zip(reqs, wavs):
             r.future.set_result(w)
             self.stats.record_request(
@@ -284,16 +292,25 @@ class TTSServer:
                vocoder: str = "griffinlim") -> None:
         """Pre-compile every (batch bucket × text-length bucket) XLA
         program for representative ``texts`` so the first real traffic
-        sees steady-state latency — run once at deploy, before opening
-        the port to load.  Covers the acoustic decode and the vocoder
-        batch shapes the given texts produce."""
+        sees steady-state latency — run once at deploy, before ``start``
+        opens the port (warmup drives the device directly, no batcher
+        needed).  Uses the default voice when the server has one, else
+        the first registered voice; no-op (with a notice) if neither
+        exists yet."""
+        voice_name = None
+        if self._default_spk_emb is None:
+            if not self._voices:
+                print("[server] warmup skipped: no default_spk_emb and "
+                      "no registered voices")
+                return
+            voice_name = next(iter(sorted(self._voices)))
         buckets = [
             b for b in self.batcher.batch_buckets
             if b <= self.batcher.max_batch
         ]
         for b in buckets:
             for t in texts:
-                self._synth_group([t] * b, None, vocoder, b)
+                self._synth_group([t] * b, voice_name, vocoder, b)
 
     # ------------------------------------------------------ device call
     def _synth_group(self, texts, voice_name, vocoder, pad_batch_to):
@@ -382,10 +399,10 @@ def main(argv=None):
             server.register_voice(name, tts.load_voice(p))
             print(f"[server] registered voice {name!r}")
 
-    port = server.start()
     if args.warmup_text:
         print("[server] warming compile caches ...")
         server.warmup(args.warmup_text)
+    port = server.start()
     print(f"[server] listening on http://{args.host}:{port}")
     try:
         while True:
@@ -428,10 +445,13 @@ def _make_handler(server: TTSServer):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 text = req["text"]
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
                 return
             fut = server.batcher.submit(

@@ -325,25 +325,19 @@ class AdaptiveTTS:
             # ONE batched inversion for the whole group: pad every mel
             # to a common (multiple-quantized) frame count with its own
             # silence floor, snap the batch to a power-of-two bucket
-            # (bounds compile count), vmap, and cut each wav back
+            # (bounds compile count), vmap, and cut each wav back to
+            # hop·(T−1) samples — the exact length the single-mel path
+            # produces (centered istft), so batching never changes a
+            # request's output length
+            from .utils.batching import pad_mel_batch
+
             hop = ap.get("hop_length", ap.get("hop_size"))
-            B = len(mels)
-            Bp = 1 << (B - 1).bit_length()
-            t_max = max(m.shape[1] for m in mels)
-            t_max = ((t_max + 31) // 32) * 32
-            padded = [
-                np.pad(
-                    m, ((0, 0), (0, t_max - m.shape[1])),
-                    constant_values=float(m.min()),
-                )
-                for m in mels
-            ]
-            padded += [padded[-1]] * (Bp - B)
             wavs = np.asarray(
-                self._gl_batch_jit(jnp.asarray(np.stack(padded)))
+                self._gl_batch_jit(jnp.asarray(pad_mel_batch(mels)))
             )
             return [
-                wavs[i][: m.shape[1] * hop] for i, m in enumerate(mels)
+                wavs[i][: (m.shape[1] - 1) * hop]
+                for i, m in enumerate(mels)
             ]
         if vocoder == "wavernn":
             voc = self._vocoders.get("wavernn")

@@ -216,6 +216,7 @@ class JointTrainer(TrainerBase):
             self.train_state, metrics, _ = self._eval_step_jit(
                 self.train_state, inputs, jax.random.fold_in(rng, itr)
             )
+            self._heartbeat()
             loss_total += float(metrics["loss"])
             mcd_total += float(metrics["mcd"])
             n += 1
@@ -257,6 +258,7 @@ class JointTrainer(TrainerBase):
                 qry,
                 keys,
             )
+            self._heartbeat()
             for i, spk in enumerate(speakers):
                 loss_test = float(qlosses[i])
                 self.log_writer(

@@ -189,6 +189,7 @@ class ContinualTrainerBase(TrainerBase):
             self.train_state, metrics, _ = self._eval_step_jit(
                 self.train_state, inputs, jax.random.fold_in(rng, itr)
             )
+            self._heartbeat()
             loss_total += float(metrics["loss"])
             mcd_total += float(metrics["mcd"])
             n += 1
@@ -223,6 +224,7 @@ class ContinualTrainerBase(TrainerBase):
                 self.train_state, metrics, outs = self._eval_step_jit(
                     self.train_state, inputs, jax.random.fold_in(rng, itr)
                 )
+                self._heartbeat()
                 loss_total += float(metrics["loss"])
                 n += 1
                 last = (inputs, outs)
@@ -291,14 +293,20 @@ class ContinualTrainerBase(TrainerBase):
             self.buffer = buf
 
     def _save_stream_state(self, next_spk_itr: int, rng) -> None:
+        import copy
+
+        # Snapshot every mutable container NOW: the async writer may
+        # pickle after the next task has already appended speakers /
+        # advanced the buffer rng, and a state newer than its
+        # next_spk_itr breaks bit-identical resume.
         payload = {
             "next_spk_itr": next_spk_itr,
-            "all_speakers": self.all_speakers,
-            "speakers_so_far": self.speakers_so_far,
-            "cumutest_dict": self.cumutest_dict,
+            "all_speakers": list(self.all_speakers),
+            "speakers_so_far": list(self.speakers_so_far),
+            "cumutest_dict": copy.deepcopy(self.cumutest_dict),
             "step_global": self.step_global,
             "rng": np.asarray(rng),
-            "buffer_rng": self._buffer_rng,
+            "buffer_rng": copy.deepcopy(self._buffer_rng),
             "extras": self._stream_extras(),
         }
         path = os.path.join(

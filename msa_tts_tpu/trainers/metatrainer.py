@@ -89,6 +89,7 @@ class MetaTrainer(TrainerBase):
                 qry,
                 keys,
             )
+            self._heartbeat()
             for i, spk in enumerate(speakers):
                 loss_test = float(qlosses[i])
                 # Forward with the adapted params for MCD + example plots.

@@ -1,0 +1,37 @@
+"""Host-side batch-shape quantization shared by the serving vocoder
+paths (serving.py Griffin-Lim, vocoders/hifigan.py) — one policy so the
+two cannot silently diverge."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pow2_bucket(n: int) -> int:
+    """Smallest power of two >= n (bounds the XLA compile count)."""
+    return 1 << (max(n, 1) - 1).bit_length()
+
+
+def pad_mel_batch(mels, frame_multiple: int = 32) -> np.ndarray:
+    """Stack variably-sized ``(n_mels, T_i)`` mels into one
+    ``(Bp, n_mels, T_max)`` array: frame counts quantized to
+    ``frame_multiple``, each mel padded with its own silence floor,
+    batch rows padded to a power-of-two bucket by repeating the last
+    mel.  Callers slice row ``i`` of the result back to its own length.
+    """
+    arr = [np.asarray(m) for m in mels]
+    B = len(arr)
+    Bp = pow2_bucket(B)
+    t_max = max(m.shape[1] for m in arr)
+    t_max = (
+        (t_max + frame_multiple - 1) // frame_multiple
+    ) * frame_multiple
+    padded = [
+        np.pad(
+            m, ((0, 0), (0, t_max - m.shape[1])),
+            constant_values=float(m.min()),
+        )
+        for m in arr
+    ]
+    padded += [padded[-1]] * (Bp - B)
+    return np.stack(padded)

@@ -114,10 +114,17 @@ class AsyncCheckpointer:
         """Enqueue a pickle write.  With ``ckpt_payload``, the pytree is
         snapshotted to host NOW and msgpack-serialized on the worker,
         landing as ``obj[ckpt_key] = bytes`` — one atomic file carrying
-        both a checkpoint and its metadata."""
+        both a checkpoint and its metadata.
+
+        ``obj`` is deep-copied at enqueue time: the caller may keep
+        mutating its containers (speaker lists, rng state, ...) while
+        the worker serializes, and the file must reflect the state at
+        the call, not at the write."""
+        import copy
         import pickle
 
         self._check()
+        obj = copy.deepcopy(obj)
         host = (
             jax.device_get(serialization.to_state_dict(ckpt_payload))
             if ckpt_payload is not None else None

@@ -105,8 +105,13 @@ class PreemptionGuard:
         self._stop.set()
 
     def clear(self) -> None:
-        """Reset after a handled preemption (e.g. before a resumed run
-        in the same process)."""
+        """Reset after a handled preemption.  The guard deliberately
+        stays set once a notice arrives — a process running several
+        trainers back-to-back must stop ALL of them, not just the one
+        that observed the signal.  An orchestrator that instead
+        relaunches a trainer *in the same process* (``resume: true``)
+        must call ``PreemptionGuard.shared().clear()`` between runs, or
+        the relaunch exits at its first poll."""
         self._stop.clear()
 
     @property

@@ -271,31 +271,23 @@ class HiFiGAN:
         return self._apply(self.params, mel)[0]
 
     def inference_batch(self, mels) -> list:
-        """ONE generator pass for variably-sized mels: each is padded to
-        a shared 32-multiple frame count with its own silence floor, the
-        batch snaps to a power-of-two bucket (bounds XLA compiles in
-        serving), and each waveform is cut back to frames·hop samples."""
+        """ONE generator pass for variably-sized mels: shapes are
+        quantized by ``utils.batching.pad_mel_batch`` (shared with the
+        serving Griffin-Lim path) and each waveform is cut back to its
+        own frames·hop samples (the generator's exact output length)."""
         import numpy as np
+
+        from ..utils.batching import pad_mel_batch
 
         hop = 1
         for u in self.h.upsample_rates:
             hop *= u
-        arr = [np.asarray(m) for m in mels]
-        B = len(arr)
-        if B == 1:
-            return [np.asarray(self.inference(arr[0]))]
-        Bp = 1 << (B - 1).bit_length()
-        t_max = max(m.shape[1] for m in arr)
-        t_max = ((t_max + 31) // 32) * 32
-        padded = [
-            np.pad(
-                m, ((0, 0), (0, t_max - m.shape[1])),
-                constant_values=float(m.min()),
-            )
-            for m in arr
-        ]
-        padded += [padded[-1]] * (Bp - B)
+        if len(mels) == 1:
+            return [np.asarray(self.inference(mels[0]))]
         wavs = np.asarray(
-            self._apply(self.params, jnp.asarray(np.stack(padded)))
+            self._apply(self.params, jnp.asarray(pad_mel_batch(mels)))
         )
-        return [wavs[i][: m.shape[1] * hop] for i, m in enumerate(arr)]
+        return [
+            wavs[i][: np.asarray(m).shape[1] * hop]
+            for i, m in enumerate(mels)
+        ]

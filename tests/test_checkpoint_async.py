@@ -92,3 +92,26 @@ def test_restore_like_roundtrip_through_async(tmp_path):
     raw = load_checkpoint(path)
     restored = restore_like(payload["opt_state"], raw["opt_state"])
     assert type(restored) is type(payload["opt_state"])
+
+
+def test_save_pickle_snapshots_at_enqueue(tmp_path):
+    """The async pickle write must capture the payload at call time:
+    mutations made while the worker is busy must NOT leak into the
+    file (this is what makes mid-stream resume bit-identical)."""
+    import pickle
+    import time
+
+    from msa_tts_tpu.utils.checkpoint import AsyncCheckpointer
+
+    ck = AsyncCheckpointer()
+    ck._q.put(lambda: time.sleep(0.4))  # keep the worker busy
+    payload = {"speakers": ["a"], "n": 1}
+    path = str(tmp_path / "state.pkl")
+    ck.save_pickle(path, payload)
+    payload["speakers"].append("b")     # mutate after enqueue
+    payload["n"] = 2
+    ck.wait()
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    assert d["speakers"] == ["a"]
+    assert d["n"] == 1

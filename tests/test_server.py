@@ -271,3 +271,77 @@ def test_server_cli_builds_and_serves(tts, tmp_path, monkeypatch):
             assert r.status == 200 and r.read()[:4] == b"RIFF"
     finally:
         server.stop()
+
+
+# ------------------------------------------------- review regressions
+def test_batched_gl_length_matches_single(tts):
+    """A request's wav length must not depend on whether it was batched:
+    the batched Griffin-Lim path cuts to hop·(T−1), exactly the single-
+    mel (centered istft) output length."""
+    kw = dict(spk_emb=np.zeros(SPK_DIM, np.float32),
+              rng=jax.random.PRNGKey(11))
+    one = tts.synthesize_batch(["hello world"], **kw)[0]
+    batch = tts.synthesize_batch(["hello world", "hi there"], **kw)
+    assert batch[0].shape == one.shape
+
+
+def test_batcher_stop_fails_queued_requests():
+    """Requests still queued at shutdown get an immediate error, not a
+    client-side timeout."""
+    import time as _time
+
+    def synth(texts, voice, vocoder, pad_batch_to):
+        _time.sleep(0.3)
+        return list(texts)
+
+    b = DynamicBatcher(synth, max_batch=1, window_ms=0)
+    b.start()
+    f1 = b.submit("a")           # picked up, slow
+    _time.sleep(0.05)
+    f2 = b.submit("b")
+    f3 = b.submit("c")
+    b.stop()                      # sentinel lands between b/c processing
+    # everything resolves promptly: either a result or a shutdown error
+    done = 0
+    for f in (f1, f2, f3):
+        try:
+            f.result(timeout=10)
+            done += 1
+        except RuntimeError as e:
+            assert "shutting down" in str(e)
+    assert done >= 1  # at least the in-flight one completed
+
+
+def test_post_rejects_non_object_json(tts):
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=1.0,
+    )
+    port = server.start()
+    try:
+        for body in (b'"hello"', b"[1, 2]", b"42"):
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(rq, timeout=30)
+            assert ei.value.code == 400, body
+    finally:
+        server.stop()
+
+
+def test_warmup_without_default_voice(tts):
+    """warmup falls back to a registered voice and no-ops (without
+    crashing) when the server has no voice at all."""
+    from msa_tts_tpu.serving import Voice
+
+    bare = TTSServer(tts, window_ms=1.0)
+    bare.warmup(["hi"])  # no default, no voices: notice, no crash
+
+    srv = TTSServer(tts, window_ms=1.0)
+    srv.register_voice(
+        "only", Voice(tts.model_params, tts.model_state,
+                      np.zeros(SPK_DIM, np.float32), 0.0)
+    )
+    srv.warmup(["hi"])  # uses the registered voice; must not raise
