@@ -31,6 +31,21 @@ class MetaMetrics(NamedTuple):
     grad_norm: jax.Array
 
 
+def merge_task_states(stacked, like):
+    """Per-task post-step model states (leading K axis) → one carried
+    state: float leaves (batch-norm running statistics) average across
+    tasks, everything else takes task 0.  Without this the outer loop
+    would discard every task's state and BN running stats would stay
+    frozen at init for the whole meta-training run — train-mode math is
+    unaffected (batch statistics), but any ``train=False`` consumer of
+    the checkpoint (serving) would normalize with init stats."""
+    return jax.tree_util.tree_map(
+        lambda s, r: jnp.mean(s, axis=0).astype(r.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating) else s[0],
+        stacked, like,
+    )
+
+
 def make_maml_step(
     loss_fn: Callable,
     inner_tx: optax.GradientTransformation,
@@ -53,8 +68,8 @@ def make_maml_step(
         adapted, ms, inner_losses = adapt(
             params, model_state, support_i, k_adapt
         )
-        qloss, _ = loss_fn(adapted, ms, query_i, k_query)
-        return qloss, inner_losses
+        qloss, ms_q = loss_fn(adapted, ms, query_i, k_query)
+        return qloss, (inner_losses, ms_q)
 
     def task_grad_fo(params, model_state, support_i, query_i, rng_i):
         """First-order task gradient: w.r.t. the *adapted* params
@@ -66,11 +81,10 @@ def make_maml_step(
         adapted = jax.lax.stop_gradient(adapted)
 
         def q(p):
-            loss, _ = loss_fn(p, ms, query_i, k_query)
-            return loss
+            return loss_fn(p, ms, query_i, k_query)
 
-        qloss, g = jax.value_and_grad(q)(adapted)
-        return g, qloss, inner_losses
+        (qloss, ms_q), g = jax.value_and_grad(q, has_aux=True)(adapted)
+        return g, qloss, inner_losses, ms_q
 
     def maml_step(state: TrainState, support: dict, query: dict, rng):
         K = jax.tree_util.tree_leaves(support)[0].shape[0]
@@ -79,22 +93,25 @@ def make_maml_step(
         if second_order:
 
             def outer_loss(p):
-                qlosses, inner = jax.vmap(
+                qlosses, (inner, ms_stack) = jax.vmap(
                     task_query_loss, in_axes=(None, None, 0, 0, 0)
                 )(p, state.model_state, support, query, keys)
-                return jnp.mean(qlosses), (qlosses, inner)
+                return jnp.mean(qlosses), (qlosses, inner, ms_stack)
 
-            (loss, (qlosses, inner)), grads = jax.value_and_grad(
+            (loss, (qlosses, inner, ms_stack)), grads = jax.value_and_grad(
                 outer_loss, has_aux=True
             )(state.params)
         else:
-            task_grads, qlosses, inner = jax.vmap(
+            task_grads, qlosses, inner, ms_stack = jax.vmap(
                 task_grad_fo, in_axes=(None, None, 0, 0, 0)
             )(state.params, state.model_state, support, query, keys)
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.mean(g, axis=0), task_grads
             )
             loss = jnp.mean(qlosses)
+        new_model_state = merge_task_states(
+            jax.lax.stop_gradient(ms_stack), state.model_state
+        )
 
         if clip_thresh is not None:
             grads, grad_norm = clip_by_global_norm(grads, clip_thresh)
@@ -109,7 +126,7 @@ def make_maml_step(
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params,
-            model_state=state.model_state,
+            model_state=new_model_state,
             opt_state=new_opt_state,
             step=state.step + 1,
         )

@@ -25,13 +25,14 @@ import optax
 
 from ..optim import TrainState, clip_by_global_norm
 from .inner_loop import make_adapt_fn
+from .maml import merge_task_states
 
 
 class ReptileMetrics(NamedTuple):
     loss: jax.Array          # mean query loss
     task_losses: jax.Array   # (K,)
     inner_losses: jax.Array  # (K, n_inner)
-    grad_norm: jax.Array
+    grad_norm: jax.Array     # mean outer-step grad norm over the batch
 
 
 def make_reptile_step(
@@ -52,12 +53,12 @@ def make_reptile_step(
             params, model_state, support_i, k_adapt
         )
         adapted = jax.lax.stop_gradient(adapted)
-        qloss, _ = loss_fn(adapted, ms, query_i, k_query)
+        qloss, ms_q = loss_fn(adapted, ms, query_i, k_query)
         # outer grad = −(θ_T − θ₀) = θ₀ − θ_T  (reptile.py:73-77)
         direction = jax.tree_util.tree_map(
             lambda p0, pT: p0 - pT, params, adapted
         )
-        return direction, qloss, inner_losses
+        return direction, qloss, inner_losses, ms_q
 
     def _apply(grads, state: TrainState):
         if clip_thresh is not None:
@@ -86,29 +87,34 @@ def make_reptile_step(
         def per_task(carry, task):
             st = carry
             sup, qry, key = task
-            direction, qloss, inner = task_direction(
+            direction, qloss, inner, ms_q = task_direction(
                 st.params, st.model_state, sup, qry, key
             )
             st, grad_norm = _apply(direction, st)
+            # carry the post-task model state (BN running stats) into
+            # the next task, as a stateful sequential run would
+            st = st._replace(model_state=ms_q)
             return st, (qloss, inner, grad_norm)
 
         state, (qlosses, inner, grad_norms) = jax.lax.scan(
             per_task, state, (support, query, keys)
         )
         return state, ReptileMetrics(
-            jnp.mean(qlosses), qlosses, inner, grad_norms[-1]
+            jnp.mean(qlosses), qlosses, inner, jnp.mean(grad_norms)
         )
 
     def reptile_step_batched(state: TrainState, support, query, rng):
         K = jax.tree_util.tree_leaves(support)[0].shape[0]
         keys = jax.random.split(rng, K)
-        directions, qlosses, inner = jax.vmap(
+        directions, qlosses, inner, ms_stack = jax.vmap(
             task_direction, in_axes=(None, None, 0, 0, 0)
         )(state.params, state.model_state, support, query, keys)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.mean(g, axis=0), directions
         )
+        new_model_state = merge_task_states(ms_stack, state.model_state)
         state, grad_norm = _apply(grads, state)
+        state = state._replace(model_state=new_model_state)
         return state, ReptileMetrics(
             jnp.mean(qlosses), qlosses, inner, grad_norm
         )

@@ -22,6 +22,7 @@ def init_encoder(rng, n_convolutions: int, embedding_dim: int,
                  kernel_size: int):
     ks = jax.random.split(rng, n_convolutions + 1)
     convs = []
+    bn_states = []
     for i in range(n_convolutions):
         k_c, _ = jax.random.split(ks[i])
         conv = N.init_conv1d(
@@ -30,15 +31,12 @@ def init_encoder(rng, n_convolutions: int, embedding_dim: int,
         )
         bn_params, bn_state = N.init_batchnorm(embedding_dim)
         convs.append({"conv": conv, "bn": bn_params})
+        bn_states.append(bn_state)
     params = {
         "convolutions": convs,
         "lstm": R.init_bilstm(ks[-1], embedding_dim, embedding_dim // 2),
     }
-    state = {
-        "convolutions": [
-            N.init_batchnorm(embedding_dim)[1] for _ in range(n_convolutions)
-        ]
-    }
+    state = {"convolutions": bn_states}
     return params, state
 
 

@@ -21,8 +21,11 @@ def _bce_with_logits(logits, labels, pos_weight: float):
     return -(pos_weight * labels * log_sig + (1.0 - labels) * log_sig_neg)
 
 
-def _pad_mask(mel_lengths, t_pad: int, r: int):
-    """Valid-frame mask of length ``t_pad`` (already a multiple of r)."""
+def _pad_mask(mel_lengths, t_pad: int):
+    """Valid-frame mask of length ``t_pad``.  The reference's _pad_mask
+    (tacotron2nv_loss.py:55-61) pads the mask length to a reduction-
+    factor multiple; here the collator already guarantees ``t_pad`` is
+    one, so only the valid-length comparison remains."""
     ids = jnp.arange(t_pad)
     return (ids[None, :] < mel_lengths[:, None]).astype(jnp.float32)
 
@@ -68,16 +71,17 @@ def tacotron2_loss(
         raise ValueError(f"unknown reduction: {reduction}")
 
     B, T, n_mel = mel_t.shape
-    mask = _pad_mask(mel_lengths, T, n_frames_per_step)  # (B, T)
+    mask = _pad_mask(mel_lengths, T)  # (B, T)
     weights = mask / jnp.maximum(
         jnp.sum(mask, axis=1, keepdims=True), 1.0
     )
+    # weights already zero out padded frames — no second mask needed
     out_weights = (weights / (B * n_mel))[..., None]  # (B, T, 1)
     logit_weights = weights / B  # (B, T)
 
-    l1_loss = jnp.sum(l1 * out_weights * mask[..., None])
-    mse_loss = jnp.sum(mse * out_weights * mask[..., None])
-    bce_loss = jnp.sum(bce * logit_weights * mask)
+    l1_loss = jnp.sum(l1 * out_weights)
+    mse_loss = jnp.sum(mse * out_weights)
+    bce_loss = jnp.sum(bce * logit_weights)
     return l1_loss + mse_loss + bce_loss
 
 

@@ -45,6 +45,14 @@ def _frame(x, frame_length: int, hop_length: int, xp=jnp):
     ``n_frames = 1 + (T - frame_length) // hop``.
     """
     n_frames = 1 + (x.shape[-1] - frame_length) // hop_length
+    if n_frames <= 0:
+        # fail loudly where the cause is (torch.stft raises here too);
+        # an empty (n_mels, 0) feature would otherwise surface far away
+        # in caching/collation
+        raise ValueError(
+            f"signal too short to frame: {x.shape[-1]} samples < "
+            f"frame_length {frame_length} (after any padding)"
+        )
     idx = (
         xp.arange(n_frames)[:, None] * hop_length
         + xp.arange(frame_length)[None, :]
@@ -126,8 +134,7 @@ def istft(
         + np.arange(n_fft)[None, :]
     ).reshape(-1)
     flat = frames.reshape(batch_shape + (-1,))
-    wsq = (window**2)[None, :].repeat(n_frames, axis=0).reshape(-1) \
-        if xp is np else xp.tile(window**2, (n_frames,))
+    wsq = xp.tile(window**2, (n_frames,))
     if xp is np:
         out = np.zeros(batch_shape + (out_len,), dtype=frames.dtype)
         np.add.at(out, (..., idx), flat)
@@ -136,13 +143,19 @@ def istft(
     else:
         out = jnp.zeros(batch_shape + (out_len,), dtype=frames.dtype)
         out = out.at[..., idx].add(flat)
-        norm = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(
-            xp.tile(window**2, (n_frames,))
-        )
+        norm = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(wsq)
     out = out / xp.maximum(norm, 1e-11)
     if center:
         pad = n_fft // 2
-        out = out[..., pad : out_len - pad]
+        # With an explicit length, keep the tail-pad region: the last
+        # frame's reconstruction extends into it, and torch.istft
+        # returns out[pad : pad + length] — trimming both pads first
+        # would zero up to n_fft//2 real samples whenever length is not
+        # a hop multiple.
+        stop = out_len - pad if length is None else min(
+            pad + length, out_len
+        )
+        out = out[..., pad:stop]
     if length is not None:
         if out.shape[-1] < length:
             out = xp.pad(
@@ -417,6 +430,18 @@ def griffin_lim(
     )
 
 
+@lru_cache(maxsize=16)
+def _mel_fbank_pinv(n_freqs, f_min, f_max, n_mels, sample_rate):
+    """Cached pseudo-inverse of the HTK filterbank — the eager vocoding
+    paths call griffinlim_logmelspec per utterance and must not pay a
+    host-side pinv each time."""
+    fb = mel_filterbank(
+        n_freqs, f_min, f_max, n_mels, sample_rate,
+        mel_scale="htk", norm=None,
+    )
+    return jnp.asarray(np.linalg.pinv(np.asarray(fb).T))
+
+
 def griffinlim_logmelspec(log_melspec, audio_params: dict,
                           rng: jax.Array | None = None):
     """Invert a log10-mel spectrogram ("ap" flavor) to a waveform:
@@ -427,13 +452,12 @@ def griffinlim_logmelspec(log_melspec, audio_params: dict,
     mel = 10.0 ** jnp.asarray(log_melspec)
     if mel.ndim == 3:
         mel = mel[0]
-    fb = mel_filterbank(
+    inv = _mel_fbank_pinv(
         p["n_fft"] // 2 + 1, p["f_min"], p["f_max"], p["n_mels"],
-        p["sample_rate"], mel_scale="htk", norm=None,
+        p["sample_rate"],
     )  # (n_freqs, n_mels)
-    inv = jnp.asarray(np.linalg.pinv(fb.T))  # (n_freqs, n_mels)
     spec = inv @ mel
-    spec = jnp.abs(jnp.maximum(spec, 1e-10))
+    spec = jnp.maximum(spec, 1e-10)
     # Guard against degenerate one/two-frame mels (e.g. an untrained
     # gate stopping immediately): Griffin-Lim's ISTFT needs at least
     # enough frames to survive the center trim.

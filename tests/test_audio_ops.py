@@ -178,3 +178,61 @@ def test_mfcc_shape():
     x = _sine()
     m = A.mfcc(x, AP_PARAMS, xp=np)
     assert m.shape[0] == 13
+
+
+def test_istft_non_hop_multiple_length_matches_torch():
+    """With a length that is not a hop multiple, istft must reconstruct
+    the tail from the pad region like torch.istft — not zero it (the
+    round-2 review's confirmed bug)."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    n = 4096  # not a multiple of hop=200
+    x = rng.standard_normal(n).astype(np.float32)
+    n_fft, hop = 1024, 200
+    spec = A.stft(x, n_fft, n_fft, hop, center=True, power=None, xp=np)
+    rec = A.istft(spec, n_fft, n_fft, hop, center=True, length=n, xp=np)
+
+    t = torch.istft(
+        torch.stft(
+            torch.from_numpy(x), n_fft, hop_length=hop,
+            window=torch.hann_window(n_fft), center=True,
+            return_complex=True,
+        ),
+        n_fft, hop_length=hop, window=torch.hann_window(n_fft),
+        center=True, length=n,
+    ).numpy()
+    np.testing.assert_allclose(rec, t, atol=1e-4)
+    # specifically: the tail is reconstructed, not zeroed
+    assert np.abs(rec[-(n % hop):]).max() > 0.1
+
+
+def test_frame_raises_on_too_short_signal():
+    with pytest.raises(ValueError, match="too short"):
+        A.stft(np.zeros(100, np.float32), 1024, 1024, 256,
+               center=False, xp=np)
+
+
+def test_grad_utils_mixing():
+    """mix_grads / mix_grads_stacked (reference grad_utils.py parity
+    API) agree with each other and with the hand-computed average."""
+    import jax.numpy as jnp
+    from msa_tts_tpu.meta.grad_utils import mix_grads, mix_grads_stacked
+
+    g1 = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray(3.0)}
+    g2 = {"w": jnp.asarray([3.0, 4.0]), "b": jnp.asarray(5.0)}
+    uniform = mix_grads([g1, g2])
+    np.testing.assert_allclose(np.asarray(uniform["w"]), [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(uniform["b"]), 4.0)
+
+    weighted = mix_grads([g1, g2], weights=[1.0, 3.0])
+    np.testing.assert_allclose(np.asarray(weighted["w"]), [2.5, 3.5])
+
+    stacked = {
+        "w": jnp.stack([g1["w"], g2["w"]]),
+        "b": jnp.stack([g1["b"], g2["b"]]),
+    }
+    s_uni = mix_grads_stacked(stacked)
+    np.testing.assert_allclose(np.asarray(s_uni["w"]), [2.0, 3.0])
+    s_w = mix_grads_stacked(stacked, weights=[1.0, 3.0])
+    np.testing.assert_allclose(np.asarray(s_w["w"]), [2.5, 3.5])

@@ -281,3 +281,44 @@ def test_maml_resume_bit_identical(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert t_res.step_global == t_full.step_global
+
+
+def test_maml_step_advances_batchnorm_state(tmp_path):
+    """The outer step must carry (task-averaged) batch-norm running
+    stats — a meta-trained checkpoint consumed with train=False
+    (serving) would otherwise normalize with init statistics."""
+    import jax
+    from msa_tts_tpu.dataloaders.synthetic import (
+        make_synthetic_corpus,
+        synthetic_params,
+    )
+    from msa_tts_tpu.trainers.maml import MAML
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=3, seed=9,
+        min_dur=0.25, max_dur=0.35,
+    )
+    params = synthetic_params(
+        root, n_speakers=2, batch_size=2,
+        model_overrides={"max_decoder_steps": 8},
+    )
+    params.update(
+        method="maml", experiment_name="bnstate", n_epochs=1,
+        meta_batch_size=2, n_inner_train=1, track_higher_grads=False,
+        maml_remat=False, use_tensorboard=False, plot_examples=False,
+        metatest_epoch_interval=100,
+        output_path=str(tmp_path / "out"),
+    )
+    t = MAML(**params)
+    init_state = jax.device_get(t.train_state.model_state)
+    t.run()
+    final_state = jax.device_get(t.train_state.model_state)
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(init_state),
+            jax.tree_util.tree_leaves(final_state),
+        )
+    )
+    assert changed, "model_state (BN running stats) did not advance"
