@@ -153,7 +153,15 @@ class TTSDataset:
         return [it.duration for it in self.items]
 
     def items_for_speaker(self, speaker: str) -> list[Item]:
-        return [it for it in self.items if it.speaker == speaker]
+        # indexed once: the meta loader queries this per speaker per
+        # episode (and per fast-forwarded resume epoch) — a full corpus
+        # scan each time is O(speakers × items) of host stall
+        if not hasattr(self, "_by_speaker"):
+            by: dict[str, list[Item]] = {}
+            for it in self.items:
+                by.setdefault(it.speaker, []).append(it)
+            self._by_speaker = by
+        return self._by_speaker.get(speaker, [])
 
     def max_text_len(self) -> int:
         return max(len(it.phonemes) for it in self.items)

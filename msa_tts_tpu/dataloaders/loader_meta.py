@@ -99,6 +99,16 @@ class MetaDataLoader:
         out = {}
         for mode, ds in (("train", self.ds_support), ("test", self.ds_query)):
             pool = ds.items_for_speaker(speaker)
+            if not pool:
+                # fail with the cause in hand — numpy's choice(0, ...)
+                # error names neither the speaker nor the split
+                raise ValueError(
+                    f"speaker {speaker!r} has no items in its "
+                    f"{mode!r} split: too few utterances survived the "
+                    "duration budget / train-test split to build "
+                    "episodes (each speaker needs at least one train "
+                    "and one test item)"
+                )
             n = min(len(pool), self.shots)
             sel = self._rng.choice(len(pool), size=n, replace=False)
             # repeat to keep the shot axis static when the pool is short

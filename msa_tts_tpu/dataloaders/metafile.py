@@ -93,6 +93,15 @@ def split_speakers(
             )
         sp = SpeakerSplit(train=items[:split_idx], test=items[split_idx:])
         splits[speaker] = sp
+        if not sp.train:
+            # reference semantics allow this (its ≥2-test guard can eat
+            # every train item, dataloader_default.py:303-313) — but it
+            # deserves more than a log line, since training then sees
+            # zero utterances for the speaker
+            print(
+                f"WARNING: speaker {speaker} has 0 train items after "
+                f"the split ({len(items)} total; ≥2 reserved for test)"
+            )
         logs += (
             f"Speaker {speaker}, trainset:{len(sp.train)} utt,"
             f"testset:{len(sp.test)} utt \n"

@@ -59,10 +59,15 @@ class Inference:
 
         self._init_model()
 
-        # Episodic loader over the meta-test speakers.
-        self.params["dataset_metatest"]["batch_size"] = int(
-            params.get("batch_size", 4)
-        )
+        # Episodic loader over the meta-test speakers.  Only override
+        # the configured shot count when the caller actually passed one
+        # (a silent default would change adaptation quality vs the
+        # training-time meta-test protocol).
+        if "batch_size" in params:
+            self.params["dataset_metatest"]["batch_size"] = int(
+                params["batch_size"]
+            )
+        self.params["dataset_metatest"].setdefault("batch_size", 4)
         self.dataloader_metatest, log = get_dataloader_meta(
             "metatest", **self.params
         )
@@ -166,24 +171,20 @@ class Inference:
         return mel, attn
 
     # --------------------------------------------------------- vocoding
-    def _vocode(self, melspec: np.ndarray) -> np.ndarray:
+    def _vocoder_bundle(self):
+        """Load the configured vocoder (and denoiser) ONCE: per-speaker
+        reloads would re-read the checkpoint and re-jit the generation
+        pipeline for every synthesized speaker."""
+        if hasattr(self, "_voc_cache"):
+            return self._voc_cache
         vocoder = self.params.get("vocoder", "griffinlim")
-        if vocoder == "griffinlim":
-            wav = griffinlim_logmelspec(
-                jnp.asarray(melspec), self.params["audio_params"]
-            )
-            return np.asarray(wav)
+        bundle = {"name": vocoder}
         if vocoder == "wavernn":
             from .vocoders.wavernn import get_wavernn
 
             params_voc = load_params(self.params["vocoder_params_path"])
-            wavernn = get_wavernn(None, **params_voc)
-            wav = wavernn.generate(
-                melspec[None],
-                True,
-                params_voc["target"],
-                params_voc["overlap"],
-            )
+            bundle["wavernn"] = get_wavernn(None, **params_voc)
+            bundle["params_voc"] = params_voc
             noise_profile = self.params.get(
                 "noise_profile_path",
                 "experiments/files/noise_profiles/noise_prof1.wav",
@@ -191,17 +192,38 @@ class Inference:
             if os.path.exists(noise_profile):
                 from .vocoders.denoiser import AudioDenoiser
 
-                wav = AudioDenoiser(noise_profile).denoise(wav)
-            return np.asarray(wav)
-        if vocoder == "hifigan":
+                bundle["denoiser"] = AudioDenoiser(noise_profile)
+        elif vocoder == "hifigan":
             from .vocoders.hifigan import HiFiGAN
 
-            hifigan = HiFiGAN(
+            bundle["hifigan"] = HiFiGAN(
                 self.params["vocoder_params_path"],
                 self.params["vocoder_ckpt_path"],
             )
-            return np.asarray(hifigan.inference(melspec))
-        raise ValueError(f"unknown vocoder: {vocoder}")
+        elif vocoder != "griffinlim":
+            raise ValueError(f"unknown vocoder: {vocoder}")
+        self._voc_cache = bundle
+        return bundle
+
+    def _vocode(self, melspec: np.ndarray) -> np.ndarray:
+        bundle = self._vocoder_bundle()
+        if bundle["name"] == "griffinlim":
+            wav = griffinlim_logmelspec(
+                jnp.asarray(melspec), self.params["audio_params"]
+            )
+            return np.asarray(wav)
+        if bundle["name"] == "wavernn":
+            params_voc = bundle["params_voc"]
+            wav = bundle["wavernn"].generate(
+                melspec[None],
+                True,
+                params_voc["target"],
+                params_voc["overlap"],
+            )
+            if "denoiser" in bundle:
+                wav = bundle["denoiser"].denoise(wav)
+            return np.asarray(wav)
+        return np.asarray(bundle["hifigan"].inference(melspec))
 
     # ------------------------------------------------------- landscapes
     def plot_loss_landscape(self, adapted_params, model_state, batch,

@@ -235,7 +235,8 @@ def upsample_apply(params, state, cfg: WaveRNNConfig, mels, *,
             aux = _linear_interp_time(aux, scale)
             aux = jnp.swapaxes(aux, 1, 2)
         indent = cfg.pad * scale
-        m = _linear_interp_time(mels, scale)[:, :, indent:-indent]
+        m = _linear_interp_time(mels, scale)
+        m = m[:, :, indent : m.shape[-1] - indent]  # safe at pad == 0
         m = m * 0.045
         return jnp.swapaxes(m, 1, 2), aux
 
@@ -257,7 +258,7 @@ def upsample_apply(params, state, cfg: WaveRNNConfig, mels, *,
         flat = N.conv1d(conv, flat, padding=s)
         m = flat.reshape(B, C, -1)
     indent = cfg.pad * total_scale
-    m = m[:, :, indent:-indent]
+    m = m[:, :, indent : m.shape[-1] - indent]  # safe at pad == 0
     return jnp.swapaxes(m, 1, 2), aux
 
 
@@ -633,6 +634,16 @@ def _sample_mol_noise(logits, gumbel, logistic,
     return jnp.clip(mean + jnp.exp(log_scale) * logistic, -1.0, 1.0)
 
 
+def _fresh_generation_key():
+    """Entropy-seeded PRNG key for callers that pass no rng.  A
+    wall-clock-second seed would hand identical sampling noise to every
+    same-second call (easy under serving load) and only ever visit a
+    few thousand distinct seeds."""
+    import os
+
+    return jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+
+
 class WaveRNN:
     """Reference-API vocoder wrapper with jitted batched generation."""
 
@@ -769,14 +780,22 @@ class WaveRNN:
         B = len(mels_list)
         if rngs is None:
             if rng is None:
-                rng = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
+                rng = _fresh_generation_key()
             rngs = list(jax.random.split(rng, B))
         rngs = jnp.stack([jnp.asarray(k) for k in rngs])
         t_lens = [np.asarray(m).shape[-1] for m in mels_list]
         T = -(-max(t_lens) // bucket_frames) * bucket_frames
-        mels = np.zeros((B, cfg.n_mels, T), np.float32)
+        mels = np.empty((B, cfg.n_mels, T), np.float32)
         for i, m in enumerate(mels_list):
-            mels[i, :, : t_lens[i]] = np.asarray(m)
+            m = np.asarray(m)
+            # pad with each mel's own silence floor: 0.0 is FULL-scale
+            # energy in the log-mel domain and would bleed loud garbage
+            # into the end of shorter utterances through the upsampler's
+            # conv receptive fields
+            mels[i] = np.pad(
+                m, ((0, 0), (0, T - t_lens[i])),
+                constant_values=float(m.min()),
+            )
         mels = jnp.pad(
             jnp.asarray(mels), ((0, 0), (0, 0), (cfg.pad, cfg.pad))
         )
@@ -815,7 +834,7 @@ class WaveRNN:
         """
         cfg = self.cfg
         if rng is None:
-            rng = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
+            rng = _fresh_generation_key()
         mels = jnp.asarray(mels)
         if mels.ndim == 2:
             mels = mels[None]
@@ -951,4 +970,7 @@ def get_wavernn(device=None, **params):
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     p, s = wavernn_params_from_state_dict(sd, cfg)
     print("Loaded WaveRNN checkpoint.\n")
-    return WaveRNN(params=p, state=s, cfg=cfg)
+    return WaveRNN(
+        params=p, state=s, cfg=cfg,
+        gen_dtype=params.get("gen_dtype", "bfloat16"),
+    )

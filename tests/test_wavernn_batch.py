@@ -89,3 +89,30 @@ def test_bf16_weights_batch(voc):
         rng=jax.random.PRNGKey(2), verbose=False,
     )
     assert np.isfinite(outs[0]).all()
+
+
+def test_mixed_length_padding_uses_silence_floor(voc):
+    """A short utterance in a mixed-length batch is padded to the common
+    frame count with its own log-mel floor, not 0.0 (= full-scale energy
+    that would bleed a loud burst into its tail through the upsampler's
+    receptive field).  Pin it by equivalence: the batch row must match
+    generating the explicitly floor-padded mel at the common length."""
+    m_long, m_short = _mel(40, 8), _mel(25, 9)
+    k = jax.random.PRNGKey(11)
+    mixed = voc.generate_batch(
+        [m_long, m_short], target=400, overlap=100,
+        rngs=[jax.random.PRNGKey(12), k], bucket_frames=8,
+        verbose=False,
+    )[1]
+
+    T = 40  # already a bucket multiple
+    explicit = np.pad(
+        m_short, ((0, 0), (0, T - m_short.shape[1])),
+        constant_values=float(m_short.min()),
+    )
+    ref = voc.generate_batch(
+        [explicit], target=400, overlap=100, rngs=[k], bucket_frames=8,
+        verbose=False,
+    )[0]
+    assert mixed.shape == ((m_short.shape[1] - 1) * CFG.hop_length,)
+    np.testing.assert_allclose(ref[: len(mixed)], mixed, atol=1e-5)
