@@ -218,6 +218,16 @@ def extract_logmels_batch(
     slices = []
     for i in range(n):
         frames = int(out_frames[i])
+        if frames == 0:
+            # Mirror the numpy path's loud failure (ops/audio.py:52):
+            # a (trimmed) signal too short to frame must not silently
+            # become an empty mel that only blows up at collation.
+            raise ValueError(
+                f"signal too short to frame: item {i} has "
+                f"{int(t_end[i]) - int(t_start[i])} samples after trim "
+                f"(< {cfg['n_fft']} required with center="
+                f"{bool(cfg['center'])})"
+            )
         mels.append(bufs[i][: n_mels * frames].reshape(n_mels, frames))
         slices.append((int(t_start[i]), int(t_end[i])))
     return mels, slices

@@ -259,7 +259,10 @@ void process_one(const Config& cfg, const FftPlan& plan, const Job& job,
   int pad1 = (cfg.flavor == 1) ? (n_fft - hop) / 2 : 0;
   int pad2 = cfg.center ? n_fft / 2 : 0;
 
-  if (n < 2 || (pad1 > 0 && n <= pad1)) {  // too short to reflect-pad
+  // reflect_pad's triangle-wave indexing handles pads larger than the
+  // signal (numpy repeats the reflection), so the only hard minimum is
+  // two samples for a non-degenerate mirror period.
+  if (n < 2) {
     *job.out_frames = 0;
     return;
   }
@@ -267,10 +270,6 @@ void process_one(const Config& cfg, const FftPlan& plan, const Job& job,
   if (pad1 > 0) {
     std::vector<float> tmp(n + 2 * pad1);
     reflect_pad(wav, n, pad1, pad1, tmp.data());
-    if (pad2 > 0 && static_cast<int64_t>(tmp.size()) <= pad2) {
-      *job.out_frames = 0;
-      return;
-    }
     if (pad2 > 0) {
       reflect_pad(tmp.data(), tmp.size(), pad2, pad2, padbuf.data());
     } else {

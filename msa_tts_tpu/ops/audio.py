@@ -434,12 +434,18 @@ def griffin_lim(
 def _mel_fbank_pinv(n_freqs, f_min, f_max, n_mels, sample_rate):
     """Cached pseudo-inverse of the HTK filterbank — the eager vocoding
     paths call griffinlim_logmelspec per utterance and must not pay a
-    host-side pinv each time."""
+    host-side pinv each time.
+
+    Returns host numpy, NOT jnp: a cached jnp value created inside a jit
+    trace would be a leaked tracer that poisons every later trace
+    (UnexpectedTracerError on the second distinct jit of a serving
+    path). Each caller lifts its own device constant via jnp.asarray.
+    """
     fb = mel_filterbank(
         n_freqs, f_min, f_max, n_mels, sample_rate,
         mel_scale="htk", norm=None,
     )
-    return jnp.asarray(np.linalg.pinv(np.asarray(fb).T))
+    return np.linalg.pinv(np.asarray(fb).T)
 
 
 def griffinlim_logmelspec(log_melspec, audio_params: dict,
@@ -452,10 +458,10 @@ def griffinlim_logmelspec(log_melspec, audio_params: dict,
     mel = 10.0 ** jnp.asarray(log_melspec)
     if mel.ndim == 3:
         mel = mel[0]
-    inv = _mel_fbank_pinv(
+    inv = jnp.asarray(_mel_fbank_pinv(
         p["n_fft"] // 2 + 1, p["f_min"], p["f_max"], p["n_mels"],
         p["sample_rate"],
-    )  # (n_freqs, n_mels)
+    ))  # (n_freqs, n_mels)
     spec = inv @ mel
     spec = jnp.maximum(spec, 1e-10)
     # Guard against degenerate one/two-frame mels (e.g. an untrained

@@ -236,3 +236,28 @@ def test_grad_utils_mixing():
     np.testing.assert_allclose(np.asarray(s_uni["w"]), [2.0, 3.0])
     s_w = mix_grads_stacked(stacked, weights=[1.0, 3.0])
     np.testing.assert_allclose(np.asarray(s_w["w"]), [2.5, 3.5])
+
+
+def test_griffinlim_mel_pinv_no_tracer_leak():
+    """Regression: _mel_fbank_pinv is lru_cached.  If it cached a jnp
+    array created inside a jit trace, the second *distinct* trace (new
+    mel shape, or single-request jit then batch jit as in serving)
+    would retrieve the leaked tracer and raise UnexpectedTracerError.
+    The cache must hold host numpy only."""
+    import jax
+    import jax.numpy as jnp
+
+    A._mel_fbank_pinv.cache_clear()
+    ap = dict(
+        sample_rate=22050, n_fft=512, win_length=512, hop_length=128,
+        f_min=0.0, f_max=8000.0, n_mels=40, griffinlim_iters=2,
+    )
+    f1 = jax.jit(lambda m: A.griffinlim_logmelspec(m, ap))
+    f2 = jax.jit(lambda m: A.griffinlim_logmelspec(m[None], ap))
+    m = jnp.full((40, 12), -3.0)
+    w1 = f1(m)          # first trace populates the cache
+    w2 = f2(m)          # second distinct trace must not see a tracer
+    assert np.isfinite(np.asarray(w1)).all()
+    assert np.isfinite(np.asarray(w2)).all()
+    cached = A._mel_fbank_pinv(257, 0.0, 8000.0, 40, 22050)
+    assert isinstance(cached, np.ndarray)

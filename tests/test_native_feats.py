@@ -109,6 +109,29 @@ def test_trimmed_extraction_matches_numpy_chain():
     )
 
 
+def test_too_short_signal_raises_like_numpy():
+    # ap2 frames with center=False: a signal shorter than n_fft yields
+    # zero frames.  The native path must fail loudly (naming the item),
+    # exactly like ops/audio.py's _frame guard — never return an empty
+    # (n_mels, 0) mel that only explodes at collation.
+    short = np.ones(200, np.float32) * 0.1
+    ok = np.ones(22050, np.float32) * 0.1
+    with pytest.raises(ValueError, match="too short to frame"):
+        extract_logmels_batch([ok, short], "ap2", AP2)
+    with pytest.raises(ValueError, match="too short to frame"):
+        A.melspec_ap2(short, AP2, xp=np)
+    # Boundary: 256 samples pads (via repeated reflection, pad > n-1)
+    # to exactly one frame on BOTH paths — the native engine must not
+    # refuse what numpy accepts.
+    rng = np.random.default_rng(11)
+    edge = rng.standard_normal(256).astype(np.float32) * 0.3
+    mels, _ = extract_logmels_batch([edge], "ap2", AP2)
+    _, _, ref = A.melspec_ap2(edge, AP2, xp=np)
+    assert mels[0].shape == ref.shape == (80, 1)
+    np.testing.assert_allclose(mels[0], np.asarray(ref, np.float32),
+                               atol=1e-5)
+
+
 def test_threaded_matches_single_thread():
     wavs = _wavs(seed=5, durs=(0.5, 0.9, 1.4, 2.0, 0.6, 1.1))
     m1, _ = extract_logmels_batch(wavs, "ap", AP, n_threads=1)
