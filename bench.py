@@ -453,6 +453,9 @@ def run_torch_reference(n_steps: int = 2) -> dict:
 
 
 def main():
+    from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if "--recompile-audit" in sys.argv:
         print(json.dumps(recompile_audit(), indent=2))
         return

@@ -373,6 +373,12 @@ def main(argv=None):
     ap.add_argument("--warmup_text", action="append", default=None)
     args = ap.parse_args(argv)
 
+    from .utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        print(f"[server] persistent compilation cache: {cache_dir}")
+
     tts = AdaptiveTTS.from_experiment(
         args.experiment_path, args.checkpoint_id
     )
@@ -428,7 +434,17 @@ def _make_handler(server: TTSServer):
 
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/health":
-                self._send_json(200, {"status": "ok"})
+                # Surface the active phonemizer: "fallback" means text
+                # requests are served with approximate rule-based phones
+                # (espeak missing) — degraded quality, not an outage.
+                g2p_backend = getattr(
+                    server.tts.g2p, "backend_name", "unknown"
+                )
+                self._send_json(200, {
+                    "status": "ok",
+                    "g2p_backend": g2p_backend,
+                    "g2p_degraded": g2p_backend == "fallback",
+                })
             elif self.path == "/stats":
                 self._send_json(200, server.stats.snapshot())
             elif self.path == "/voices":

@@ -48,6 +48,12 @@ from .train_state import TrainState, clip_by_global_norm, make_optimizer
 class TrainerBase:
     def __init__(self, **params):
         self.params = params
+        if params.get("compilation_cache", True):
+            from ..utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(
+                params.get("compilation_cache_dir") or None
+            )
         output_path = os.path.join(
             params["output_path"], params["method"], params["experiment_name"]
         )

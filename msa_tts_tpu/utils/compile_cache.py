@@ -1,0 +1,59 @@
+"""Persistent XLA compilation cache.
+
+The acoustic model's bucketed shapes compile to ~48 distinct XLA
+programs (BENCHMARKS.md "recompile audit"); at ~30 s each on TPU, the
+first epoch carries ~24 minutes of one-time compile tax.  JAX can
+persist compiled executables to disk and reload them across processes —
+this module turns that on for every framework entry point (trainers,
+server, bench) so the tax is paid once per machine, not once per run.
+
+The reference (torch eager) has no compile step and therefore no
+counterpart; this is TPU-native operational surface.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+_enabled_dir: str | None = None
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "MSA_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "msa_tts_tpu", "xla_cache"
+        ),
+    )
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at ``path`` (default:
+    ``$MSA_COMPILATION_CACHE_DIR`` or ``~/.cache/msa_tts_tpu/xla_cache``).
+
+    Idempotent; returns the active cache dir, or None if the cache could
+    not be enabled (old jax, read-only filesystem) — callers proceed
+    uncached in that case.
+    """
+    global _enabled_dir
+    if _enabled_dir is not None:
+        return _enabled_dir
+    path = path or default_cache_dir()
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Persist anything that took meaningful compile time; the
+        # decoder scan programs are seconds-to-minutes each.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - env-dependent
+        logging.getLogger(__name__).warning(
+            "persistent compilation cache unavailable (%s); "
+            "compiles will not be reused across processes", e
+        )
+        return None
+    _enabled_dir = path
+    return path

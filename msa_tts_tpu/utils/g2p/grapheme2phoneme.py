@@ -19,6 +19,7 @@ letter-to-IPA mapping so that synthesis demos and tests run hermetically.
 
 from __future__ import annotations
 
+import logging
 import re
 import shutil
 import subprocess
@@ -57,7 +58,11 @@ class EspeakBackend:
             text=True,
             check=True,
         ).stdout
-        out = out.replace("\n", " ").strip()
+        # Merge espeak's multi-line output into one line exactly as the
+        # reference postprocess does (strip, \n→space, collapse the
+        # double space a " "-led continuation line produces —
+        # phonemizer_api/backend/espeak.py:281).
+        out = out.strip().replace("\n", " ").replace("  ", " ")
         # Remove language-switch flags and tie bars espeak may emit.
         out = _LANG_FLAG_RE.sub("", out)
         out = out.replace("͡", "").replace("‍", "")
@@ -164,20 +169,38 @@ class Grapheme2Phoneme:
         self._punct = Punctuation(PUNCTUATIONS)
         if backend == "espeak":
             self.backend = EspeakBackend()
+            self.backend_name = "espeak"
         elif backend == "festival":
             self.backend = FestivalBackend()
+            self.backend_name = "festival"
         elif backend == "fallback":
             self.backend = FallbackBackend()
+            self.backend_name = "fallback"
         elif backend == "segments":
             if not segments_profile:
                 raise ValueError(
                     "segments backend needs a grapheme-map profile path"
                 )
             self.backend = SegmentsBackend(segments_profile)
+            self.backend_name = "segments"
         else:  # auto
-            self.backend = (
-                EspeakBackend() if find_espeak() else FallbackBackend()
-            )
+            if find_espeak():
+                self.backend = EspeakBackend()
+                self.backend_name = "espeak"
+            else:
+                self.backend = FallbackBackend()
+                self.backend_name = "fallback"
+                # Degraded mode must be LOUD: the rule-based mapper keeps
+                # demos running but its phone strings do NOT match
+                # espeak-phonemized training metafiles — a server quietly
+                # running on it would synthesize from wrong phonemes.
+                logging.getLogger(__name__).warning(
+                    "g2p: no espeak binary found — live phonemization is "
+                    "running on the approximate rule-based fallback. "
+                    "Phone strings will differ from espeak-phonemized "
+                    "training data; install espeak-ng for faithful "
+                    "inference (backend='fallback' silences this)."
+                )
 
     # ------------------------------------------------------------------ text
     def text_to_phone(self, text: str, language: str = "en-us",

@@ -220,3 +220,63 @@ def test_prepare_comvoice_layout(tmp_path):
     lines = [l.strip().split("|") for l in open(meta)]
     assert len(lines) == 6
     assert {p[0] for p in lines} == {"c1", "c2"}
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """enable_compilation_cache points JAX's disk cache at our dir and a
+    compiled program round-trips: first process writes an entry, second
+    process starts with the entry present (warm start).  Threshold is
+    dropped to 0 here; production keeps 1 s (only expensive programs
+    persist)."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "xla_cache")
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        f"import os; os.environ['MSA_COMPILATION_CACHE_DIR']={d!r}\n"
+        "from msa_tts_tpu.utils.compile_cache import "
+        "enable_compilation_cache\n"
+        f"assert enable_compilation_cache() == {d!r}\n"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "f = jax.jit(lambda x: jnp.sin(x) @ x.T)\n"
+        "x = jnp.asarray(np.ones((64, 64), 'float32'))\n"
+        "f(x).block_until_ready()\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, env=env, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    entries = os.listdir(d)
+    assert len(entries) >= 1  # the jitted program persisted
+
+
+def test_g2p_reports_backend_and_degraded_warning(caplog):
+    """Auto-resolution without espeak must land on the fallback backend
+    LOUDLY (warning log) and expose backend_name for /health."""
+    import logging
+
+    from msa_tts_tpu.utils.g2p.grapheme2phoneme import (
+        Grapheme2Phoneme,
+        find_espeak,
+    )
+
+    with caplog.at_level(logging.WARNING):
+        g = Grapheme2Phoneme()
+    if find_espeak():
+        assert g.backend_name == "espeak"
+    else:
+        assert g.backend_name == "fallback"
+        assert any("fallback" in r.message for r in caplog.records)
+    # explicit request is not "degraded" — no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        g2 = Grapheme2Phoneme(backend="fallback")
+    assert g2.backend_name == "fallback"
+    assert not caplog.records

@@ -253,3 +253,213 @@ def test_festival_backend_live():
         language="en-us",
     )
     assert phones.strip().endswith(".")
+
+
+# ---------------------------------------------------------------------------
+# Full espeak-pipeline differential parity vs the reference's vendored
+# phonemizer, with the binary stubbed out (no espeak in this image).
+# The reference drives ~400 lines of pipeline around the subprocess
+# (chunking, separators, strip semantics, language-switch policy —
+# phonemizer_api/backend/espeak.py:127-312, backend/base.py:91-133);
+# ours shells the binary directly.  Both run here against the SAME fake
+# espeak so any pipeline-semantics divergence shows up as a phone-string
+# or index-sequence mismatch on real-ish text.
+# ---------------------------------------------------------------------------
+
+# canned lexicon: word -> list of IPA phones (as espeak-ng would emit,
+# one list entry per --sep=_ separated phone)
+_FAKE_LEX = {
+    "hello": ["h", "ə", "l", "ˈoʊ"],
+    "world": ["w", "ˈɜː", "l", "d"],
+    "the": ["ð", "ə"],
+    "quick": ["k", "w", "ˈɪ", "k"],
+    "brown": ["b", "ɹ", "ˈaʊ", "n"],
+    "fox": ["f", "ˈɒ", "k", "s"],
+    "jumps": ["dʒ", "ˈʌ", "m", "p", "s"],
+    "over": ["ˈoʊ", "v", "ɚ"],
+    "lazy": ["l", "ˈeɪ", "z", "i"],
+    "dog": ["d", "ˈɒ", "ɡ"],
+    "cheese": ["t͡ʃ", "ˈiː", "z"],          # tie bar
+    "church": ["tʃ", "ˈɜː", "tʃ"],
+    "rendezvous": ["ɹ", "ˈɒ", "n", "d", "eɪ", "v", "uː"],
+    "bonjour": ["b", "ɔ̃", "ʒ", "ˈu", "ʁ"],   # (fr) spaced flags
+    "carpe": ["k", "ˈa", "ɾ", "p", "e"],       # (la) attached flag
+    "diem": ["d", "ˈi", "e", "m"],
+    "twenty": ["t", "w", "ˈɛ", "n", "t", "i"],
+    "two": ["t", "ˈuː"],
+    "secondary": ["s", "ˈɛ", "k", "ə", "n", "d", "ˌɛ", "ɹ", "i"],
+    "a": ["ɐ"],
+    "i": ["ˈaɪ"],
+    "extra": ["ˈɛ", "k", "s", "t", "ɹ", "ə"],
+    "wrap": ["ɹ", "ˈæ", "p"],
+    "line": ["l", "ˈaɪ", "n"],
+}
+_FLAG_SPACED = {"bonjour": "fr"}     # emitted as "(fr) word (en)"
+_FLAG_ATTACHED = {"carpe": "la", "diem": "la"}  # emitted as "(la)word"
+_BUG694 = {"jumps", "dog"}           # extra trailing separator on sep path
+_WRAP_BEFORE = {"wrap"}              # espeak line-wraps before this word
+
+G2P_PIPELINE_CORPUS = [
+    "hello world",
+    "Hello, world!",
+    "the quick brown fox jumps over the lazy dog.",
+    "the quick brown fox; jumps over... the lazy dog!",
+    "cheese!",
+    "church cheese church",
+    "hello bonjour world",          # spaced language-switch flags
+    "carpe diem!",                  # attached language-switch flags
+    "twenty-two",                   # hyphenated word
+    "secondary stress, secondary!",
+    "a i a",
+    "hello... world??? hello!!!",   # multi-chunk punctuation runs
+    "...",                          # punctuation only
+    "!?",
+    ",hello",
+    "hello,",
+    "the extra wrap line",          # fake espeak wraps mid-output
+    "extra wrap, extra wrap.",
+    "Hello World The Quick",        # case folding
+    "dog jumps dog jumps",          # bug-694 separator artifacts
+    "hello;world",
+    "  hello   world  ",            # ragged whitespace
+]
+
+
+def _fake_word_tokens(word, sep):
+    """Raw espeak output tokens for one input word (flags and quirks
+    included), with phones joined by `sep`."""
+    w = word.lower().strip("-")
+    # espeak treats hyphenated compounds as separate words
+    parts = w.split("-") if "-" in w else [w]
+    toks = []
+    for p in parts:
+        if p not in _FAKE_LEX:
+            continue
+        body = sep.join(_FAKE_LEX[p])
+        if p in _FLAG_SPACED:
+            toks += [f"({_FLAG_SPACED[p]})", body, "(en)"]
+        elif p in _FLAG_ATTACHED:
+            toks.append(f"({_FLAG_ATTACHED[p]})" + body)
+        else:
+            if sep and p in _BUG694:   # espeak-ng issue #694
+                body += sep
+            toks.append(body)
+    return toks
+
+
+def _fake_espeak_line(line, sep):
+    out_words = []
+    for word in line.split():
+        out_words.extend(_fake_word_tokens(word, sep))
+    raw = " ".join(out_words)
+    if any(w.lower().lstrip("-").startswith(tuple(_WRAP_BEFORE))
+           for w in line.split()):
+        # simulate espeak wrapping long output: newline + leading space
+        idx = raw.find(" ɹ" + sep)
+        if idx > 0:
+            raw = raw[:idx] + "\n " + raw[idx + 1:]
+    return raw + "\n"
+
+
+def _install_fake_espeak(monkeypatch):
+    """Point BOTH pipelines' subprocess layer at the canned engine."""
+    import subprocess as sp
+
+    real_run = sp.run
+
+    def fake_run(cmd, **kw):
+        if not (isinstance(cmd, list) and cmd
+                and "espeak" in str(cmd[0])):
+            return real_run(cmd, **kw)
+        if "-f" in cmd:  # reference path: text in a temp file, --sep=_
+            fname = cmd[cmd.index("-f") + 1]
+            with open(fname, encoding="utf8") as f:
+                line = f.read()
+            sep = "_" if any(c.startswith("--sep=") for c in cmd) else ""
+            out = _fake_espeak_line(line, sep)
+            return sp.CompletedProcess(cmd, 0, out.encode(), b"")
+        # our path: text after "--", plain --ipa (no separators)
+        line = cmd[cmd.index("--") + 1]
+        out = _fake_espeak_line(line, "")
+        if kw.get("text"):
+            return sp.CompletedProcess(cmd, 0, out, "")
+        return sp.CompletedProcess(cmd, 0, out.encode(), b"")
+
+    monkeypatch.setattr(sp, "run", fake_run)
+
+
+def _load_reference_g2p(monkeypatch):
+    import sys
+    import types
+
+    for m in ("pkg_resources", "segments"):
+        sys.modules.setdefault(m, types.ModuleType(m))
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from msa_tts.utils.g2p.grapheme2phoneme import (
+        Grapheme2Phoneme as RefG2P,
+    )
+    from msa_tts.utils.g2p.phonemizer_api.backend.espeak import (
+        BaseEspeakBackend,
+        EspeakBackend,
+    )
+
+    monkeypatch.setattr(
+        BaseEspeakBackend, "espeak_path",
+        staticmethod(lambda: "/fake/espeak"),
+    )
+    monkeypatch.setattr(
+        BaseEspeakBackend, "long_version",
+        classmethod(lambda cls: "eSpeak NG text-to-speech: 1.50"),
+    )
+    monkeypatch.setattr(
+        EspeakBackend, "supported_languages",
+        classmethod(lambda cls: {"en-us": "English (America)"}),
+    )
+    return RefG2P()
+
+
+@pytest.mark.parametrize("text", G2P_PIPELINE_CORPUS)
+def test_espeak_pipeline_differential_parity(monkeypatch, text):
+    import os
+
+    if not os.path.isdir("/root/reference/msa_tts"):
+        pytest.skip("reference not mounted")
+    _install_fake_espeak(monkeypatch)
+    ref = _load_reference_g2p(monkeypatch)
+    ours = Grapheme2Phoneme(backend="espeak_stub_test")  # below
+
+    ref_seq, ref_phones = ref.convert(
+        text, convert_mode="text_to_phone_to_idx", language="en-us"
+    )
+    our_seq, our_phones = ours.convert(
+        text, convert_mode="text_to_phone_to_idx", language="en-us"
+    )
+
+    # index sequences — what the model consumes — must be identical
+    assert our_seq == ref_seq, (
+        f"text={text!r}\nref={ref_phones!r}\nours={our_phones!r}"
+    )
+    # phone strings identical up to the documented tie-bar/ZWJ strip
+    # (neither char is in the vocabulary; the reference keeps them in
+    # the string, we drop them eagerly)
+    norm = ref_phones.replace("͡", "").replace("‍", "")
+    assert our_phones == norm, f"text={text!r}"
+
+
+# allow constructing our G2P with a stubbed espeak binary path
+@pytest.fixture(autouse=True)
+def _allow_stub_backend(monkeypatch):
+    from msa_tts_tpu.utils.g2p import grapheme2phoneme as G
+
+    orig_init = G.Grapheme2Phoneme.__init__
+
+    def patched(self, backend="auto", segments_profile=None):
+        if backend == "espeak_stub_test":
+            orig_init(self, backend="fallback")
+            self.backend = G.EspeakBackend(binary="/fake/espeak")
+            self.backend_name = "espeak"
+            return
+        orig_init(self, backend=backend, segments_profile=segments_profile)
+
+    monkeypatch.setattr(G.Grapheme2Phoneme, "__init__", patched)

@@ -136,7 +136,16 @@ def test_http_server_end_to_end(tts):
     base = f"http://127.0.0.1:{port}"
     try:
         with urllib.request.urlopen(base + "/health", timeout=30) as r:
-            assert json.loads(r.read())["status"] == "ok"
+            health = json.loads(r.read())
+            assert health["status"] == "ok"
+            # the active phonemizer (and whether it's the degraded
+            # rule-based fallback) is part of the health surface
+            assert health["g2p_backend"] in (
+                "espeak", "festival", "fallback", "segments"
+            )
+            assert health["g2p_degraded"] == (
+                health["g2p_backend"] == "fallback"
+            )
 
         req = urllib.request.Request(
             base + "/synthesize",
