@@ -463,3 +463,89 @@ def decoder_infer(
         final["mel_lengths"],
         final["step"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (segmented) inference
+# ---------------------------------------------------------------------------
+
+def decoder_stream_init(cfg: DecoderConfig, batch: int, t_in: int, dtype):
+    """Initial carried state for segmented autoregressive decoding —
+    the same quantities ``decoder_infer``'s while-loop carries, minus
+    the preallocated output buffers (segments return their own)."""
+    return dict(
+        step=jnp.asarray(0, jnp.int32),
+        decoder_input=jnp.zeros(
+            (batch, cfg.n_mel_channels * cfg.n_frames_per_step), dtype
+        ),
+        carry=_init_carry(cfg, batch, t_in, dtype),
+        not_finished=jnp.ones((batch,), jnp.int32),
+        mel_lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def decoder_infer_segment(
+    params,
+    cfg: DecoderConfig,
+    encoder_outputs,
+    input_lengths,
+    rng,
+    state: dict,
+    n_seg: int,
+    *,
+    training: bool = False,
+):
+    """Run ``n_seg`` autoregressive steps from ``state`` and return
+    ``(new_state, mels (B, n_mel, n_seg·r), gates (B, n_seg),
+    alignments (B, n_seg, T_in))``.
+
+    Chaining segments reproduces ``decoder_infer`` EXACTLY (same
+    ``fold_in(rng, absolute_step)`` per-step keys, same carry math) —
+    the streaming path is the offline path cut into jit-once pieces, so
+    time-to-first-audio shrinks without a quality fork.  Steps past the
+    gate keep running inside a segment (wasted-but-correct compute);
+    the caller stops requesting segments once ``not_finished`` is all
+    zero or ``step`` reaches ``max_decoder_steps``.
+    """
+    B, T_in, _ = encoder_outputs.shape
+    dtype = encoder_outputs.dtype
+    mask = sequence_mask(input_lengths, T_in)
+    prep_fn, attn_step_fn = _attn_fns(cfg)
+    processed_inputs = prep_fn(params["attention_layer"], encoder_outputs)
+
+    def body(s, _):
+        step = s["step"]
+        k_step = jax.random.fold_in(rng, step)
+        k_pre, k_dec = jax.random.split(k_step)
+        prenet_out = prenet_apply(
+            params["prenet"], s["decoder_input"], k_pre,
+            dropout_rate=cfg.p_prenet_dropout,
+        )
+        new_carry, (mel_out, gate, alignment) = _decode_step(
+            params, cfg, attn_step_fn, s["carry"], prenet_out,
+            encoder_outputs, processed_inputs, mask, k_dec,
+            training=training,
+        )
+        dec = (
+            jax.nn.sigmoid(gate[:, 0]) <= cfg.gate_threshold
+        ).astype(jnp.int32)
+        not_finished = s["not_finished"] * dec
+        new_s = dict(
+            step=step + 1,
+            decoder_input=mel_out,
+            carry=new_carry,
+            not_finished=not_finished,
+            mel_lengths=s["mel_lengths"] + not_finished,
+        )
+        return new_s, (mel_out, gate[:, 0], alignment)
+
+    new_state, (mels, gates, aligns) = jax.lax.scan(
+        body, state, None, length=n_seg
+    )
+    r = cfg.n_frames_per_step
+    mels = jnp.swapaxes(mels, 0, 1)                 # (B, n_seg, n_mel·r)
+    mels = mels.reshape(B, n_seg * r, cfg.n_mel_channels)
+    mels = jnp.swapaxes(mels, 1, 2)                 # (B, n_mel, n_seg·r)
+    gates = jnp.swapaxes(gates, 0, 1)
+    aligns = jnp.swapaxes(aligns, 0, 1)
+    return new_state, mels, gates, aligns

@@ -250,6 +250,7 @@ class TTSServer:
             if default_spk_emb is not None else None
         )
         self.stats = ServerStats()
+        self._device_lock = threading.Lock()
         self.batcher = DynamicBatcher(
             self._synth_group, max_batch=max_batch, window_ms=window_ms,
             batch_buckets=batch_buckets, stats=self.stats,
@@ -324,11 +325,33 @@ class TTSServer:
             raise ValueError(
                 "no voice given and the server has no default_spk_emb"
             )
-        return self.tts.synthesize_batch(
-            texts, voice, vocoder=vocoder, spk_emb=spk_emb,
-            text_pad_multiple=self.text_pad_multiple,
-            pad_batch_to=pad_batch_to,
-        )
+        with self._device_lock:
+            return self.tts.synthesize_batch(
+                texts, voice, vocoder=vocoder, spk_emb=spk_emb,
+                text_pad_multiple=self.text_pad_multiple,
+                pad_batch_to=pad_batch_to,
+            )
+
+    def stream_chunks(self, text: str, voice_name: str | None,
+                      vocoder: str):
+        """Generator of float32 wav chunks for /synthesize_stream.
+        Streaming bypasses the dynamic batcher (it optimizes
+        time-to-first-audio, not aggregate throughput); the device lock
+        keeps its jit dispatches from interleaving with batched ones."""
+        voice = None
+        spk_emb = self._default_spk_emb
+        if voice_name is not None:
+            voice = self._voices.get(voice_name)
+            if voice is None:
+                raise KeyError(f"unknown voice: {voice_name!r}")
+        elif spk_emb is None:
+            raise ValueError(
+                "no voice given and the server has no default_spk_emb"
+            )
+        with self._device_lock:
+            yield from self.tts.synthesize_stream(
+                text, voice, vocoder=vocoder, spk_emb=spk_emb,
+            )
 
     # ------------------------------------------------------------- wavs
     def encode_wav(self, wav: np.ndarray) -> bytes:
@@ -420,6 +443,10 @@ def main(argv=None):
 
 def _make_handler(server: TTSServer):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for chunked streaming responses; every non-streaming
+        # response carries an explicit Content-Length
+        protocol_version = "HTTP/1.1"
+
         # quiet by default; errors still surface via status codes
         def log_message(self, fmt, *args):  # noqa: D102
             pass
@@ -455,6 +482,9 @@ def _make_handler(server: TTSServer):
                 self._send_json(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802 — http.server API
+            if self.path == "/synthesize_stream":
+                self._do_stream()
+                return
             if self.path != "/synthesize":
                 self._send_json(404, {"error": "not found"})
                 return
@@ -484,6 +514,68 @@ def _make_handler(server: TTSServer):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_stream(self):
+            """Chunked streaming synthesis: a WAV header with the
+            0xFFFFFFFF streaming-length convention, then PCM16 chunks as
+            the pipeline produces them — time-to-first-byte is one
+            decode segment + one vocode chunk, not the whole utterance."""
+            import struct
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError("'text' must be a non-empty string")
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            sr = int(server.tts.params["audio_params"]["sample_rate"])
+            try:
+                gen = server.stream_chunks(
+                    text, req.get("voice"),
+                    req.get("vocoder", "griffinlim"),
+                )
+                first = next(gen, None)
+            except Exception as e:  # noqa: BLE001 — client-facing
+                self._send_json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+
+            # streaming WAV header: unknown length = 0xFFFFFFFF
+            header = (
+                b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                        sr * 2, 2, 16)
+                + b"data" + struct.pack("<I", 0xFFFFFFFF)
+            )
+            chunk(header)
+
+            def pcm(w):
+                w = np.clip(np.asarray(w, np.float32), -1.0, 1.0)
+                return (w * 32767.0).astype("<i2").tobytes()
+
+            try:
+                if first is not None:
+                    chunk(pcm(first))
+                for w in gen:
+                    chunk(pcm(w))
+            except Exception as e:  # noqa: BLE001 — mid-stream failure
+                print(f"[server] stream aborted: {e!r}", flush=True)
+            finally:
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
 
     return Handler
 

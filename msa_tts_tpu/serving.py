@@ -356,3 +356,232 @@ class AdaptiveTTS:
                 return voc.inference_batch(mels)
             return [np.asarray(voc.inference(m)) for m in mels]
         raise ValueError(f"unknown vocoder: {vocoder}")
+
+
+# ---------------------------------------------------------------------------
+# Streaming synthesis
+# ---------------------------------------------------------------------------
+
+class _StreamingPostnet:
+    """Delayed-exact streaming postnet.
+
+    The postnet is a stack of same-padded time convolutions with a
+    finite receptive field of ``ctx = n_convs · (kernel // 2)`` frames
+    per side.  Emitting a frame only once ``ctx`` future frames exist
+    (and carrying ``ctx`` past frames as left context) reproduces the
+    offline postnet EXACTLY, at the cost of ``ctx`` frames of
+    algorithmic delay.  Window sizes are quantized so steady-state
+    streaming runs one compiled XLA program.
+    """
+
+    def __init__(self, apply_fn, ctx: int):
+        self.apply = apply_fn           # (B, n_mel, W) -> (B, n_mel, W)
+        self.ctx = int(ctx)
+        self.left: np.ndarray | None = None   # (n_mel, <=ctx) raw
+        self.pending: np.ndarray | None = None
+
+    def _cat(self, *xs):
+        xs = [x for x in xs if x is not None and x.shape[-1]]
+        if not xs:
+            return None
+        return np.concatenate(xs, axis=-1)
+
+    def push(self, raw: np.ndarray, final: bool = False) -> np.ndarray:
+        """Feed raw mel frames (n_mel, t); returns the postnet-processed
+        frames that became exact (possibly empty)."""
+        self.pending = self._cat(self.pending, raw)
+        if self.pending is None:
+            return np.zeros((raw.shape[0], 0), raw.dtype)
+        n_pend = self.pending.shape[-1]
+        m = n_pend if final else n_pend - self.ctx
+        if m <= 0:
+            return np.zeros((raw.shape[0], 0), raw.dtype)
+        n_left = 0 if self.left is None else self.left.shape[-1]
+        window = self._cat(self.left, self.pending)
+        out = np.asarray(self.apply(window[None])[0])
+        emitted = out[:, n_left : n_left + m]
+        keep = self._cat(self.left, self.pending[:, :m])
+        self.left = keep[:, -self.ctx :]
+        self.pending = self.pending[:, m:]
+        return emitted
+
+
+class _StreamingVocoder:
+    """Chunked vocoding with ±ctx frames of context, trimmed from the
+    output — conv vocoders reproduce their offline output wherever the
+    receptive field fits inside the context; Griffin-Lim estimates
+    phase per chunk (documented boundary approximation)."""
+
+    def __init__(self, vocode_fn, hop: int, chunk: int, ctx: int):
+        self.vocode = vocode_fn       # (n_mel, W) -> wav np.ndarray
+        self.hop, self.chunk, self.ctx = int(hop), int(chunk), int(ctx)
+        self.buf: np.ndarray | None = None   # all emitted mel frames
+        self.done = 0                        # frames already vocoded
+
+    def push(self, mel: np.ndarray, final: bool = False):
+        """Feed exact mel frames; yields wav chunks (np.float32)."""
+        if mel is not None and mel.shape[-1]:
+            self.buf = (
+                mel if self.buf is None
+                else np.concatenate([self.buf, mel], axis=-1)
+            )
+        if self.buf is None:
+            return
+        T = self.buf.shape[-1]
+        while True:
+            e = self.done + self.chunk
+            if e + self.ctx > T:       # need future context (or final)
+                if not (final and self.done < T):
+                    break
+                e = T
+            s = self.done
+            a = max(0, s - self.ctx)
+            b = min(T, e + self.ctx)
+            wav = np.asarray(self.vocode(self.buf[:, a:b]),
+                             dtype=np.float32)
+            o = (s - a) * self.hop
+            n = (e - s) * self.hop
+            chunk = wav[o : o + n]
+            self.done = e
+            if chunk.size:
+                yield chunk
+            if e >= T:
+                break
+
+
+def _postnet_ctx(cfg) -> int:
+    return cfg.postnet_n_convolutions * (cfg.postnet_kernel_size // 2)
+
+
+class _AdaptiveTTSStreaming:
+    """Mixin-style extension; methods are attached to AdaptiveTTS
+    below (kept separate for readability)."""
+
+
+def synthesize_stream(
+    self,
+    text: str,
+    voice: Voice | None = None,
+    *,
+    vocoder: str = "griffinlim",
+    spk_emb: np.ndarray | None = None,
+    rng: jax.Array | None = None,
+    segment_steps: int = 16,
+    chunk_frames: int = 40,
+    vocode_ctx_frames: int = 16,
+):
+    """Generator: text → wav chunks (np.float32), start-to-first-chunk
+    ≪ start-to-last (the TTFA win; see benchmarks/serving_stream.py).
+
+    Pipeline: one jitted encode → autoregressive decode in
+    ``segment_steps``-step jitted segments (bit-exact chaining of the
+    offline decoder — models/decoder.py:decoder_infer_segment) →
+    delayed-exact streaming postnet → chunked vocoding.  The mel path
+    is identical to :meth:`synthesize`; only Griffin-Lim's per-chunk
+    phase estimate is approximate (use hifigan/wavernn for exact
+    streaming audio).
+    """
+    from .models.decoder import decoder_infer_segment, decoder_stream_init
+    from .models.tacotron2nv import _encode, postnet_apply
+
+    params = voice.params if voice else self.model_params
+    state = voice.model_state if voice else self.model_state
+    emb = voice.spk_emb if voice else np.asarray(spk_emb, np.float32)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    seq, _ = self.g2p.convert(
+        text, convert_mode="text_to_phone_to_idx",
+        language=self.params.get("language", "en-us"),
+    )
+    inputs = jnp.asarray(np.asarray(seq, np.int32)[None])
+    in_len = jnp.asarray([len(seq)], jnp.int32)
+
+    cfg = self.cfg
+    dcfg = cfg.decoder_config()
+    r = cfg.n_frames_per_step
+
+    if not hasattr(self, "_stream_jits"):
+        self._stream_jits = {}
+    key = ("seg", segment_steps)
+    if key not in self._stream_jits:
+        def enc_fn(p, s, i, il, sv, k):
+            return _encode(p, s, cfg, i, il, sv, k, False)
+
+        def seg_fn(p, enc, il, k, st):
+            return decoder_infer_segment(
+                p["decoder"], dcfg, enc, il, k, st, segment_steps
+            )
+
+        def post_fn(p, s, x):
+            res, _ = postnet_apply(
+                p["postnet"], s["postnet"], x, rng=None, train=False,
+                kernel_size=cfg.postnet_kernel_size,
+            )
+            return x + res
+
+        self._stream_jits[key] = (
+            jax.jit(enc_fn), jax.jit(seg_fn), jax.jit(post_fn),
+        )
+    enc_jit, seg_jit, post_jit = self._stream_jits[key]
+
+    enc_cond, _ = enc_jit(
+        params, state, inputs, in_len, jnp.asarray(emb[None]),
+        rng,
+    )
+    k_dec = jax.random.fold_in(rng, 2)
+    st = decoder_stream_init(dcfg, 1, enc_cond.shape[1], enc_cond.dtype)
+
+    hop = self.params["audio_params"].get(
+        "hop_length", self.params["audio_params"].get("hop_size")
+    )
+    post = _StreamingPostnet(
+        lambda w: post_jit(params, state, jnp.asarray(w)),
+        _postnet_ctx(cfg),
+    )
+    if vocoder == "none":      # stream exact mel chunks directly
+        class voc:  # noqa: N801 - tiny inline namespace
+            @staticmethod
+            def push(mel, final=False):
+                if mel is not None and mel.shape[-1]:
+                    yield mel
+    else:
+        voc = _StreamingVocoder(
+            lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
+            hop, chunk_frames, vocode_ctx_frames,
+        )
+
+    produced = 0       # raw frames fed to the postnet
+    emitted = 0        # exact frames forwarded to the vocoder
+    while True:
+        st, mels, gates, _ = seg_jit(params, enc_cond, in_len, k_dec, st)
+        n_steps = int(st["step"])
+        finished = (
+            int(np.asarray(st["not_finished"]).sum()) == 0
+            if cfg.early_stopping else False
+        )
+        at_cap = n_steps >= cfg.max_decoder_steps
+        final = finished or at_cap
+        raw = np.asarray(mels[0])                    # (n_mel, seg·r)
+        L = max(int(np.asarray(st["mel_lengths"])[0]), 1) * r
+        if final:
+            # the offline while-loop's buffer holds mel_lengths + 1
+            # real decoder steps (the gate-firing step still writes its
+            # frame) and zeros beyond — feed the postnet the same
+            # real-frame prefix so its output matches offline exactly,
+            # but forward only mel_lengths·r frames to the vocoder
+            # (offline output trimming, tacotron2nv_infer + synthesize)
+            real = min(
+                (L // r + 1) * r, cfg.max_decoder_steps * r
+            )
+            raw = raw[:, : max(0, real - produced)]
+        produced += raw.shape[-1]
+        exact = post.push(raw, final=final)
+        cap = L if final else produced  # vocoder sees ≤ L·r total
+        take = max(0, min(exact.shape[-1], cap - emitted))
+        emitted += take
+        yield from voc.push(exact[:, :take], final=final)
+        if final:
+            break
+
+
+AdaptiveTTS.synthesize_stream = synthesize_stream

@@ -354,3 +354,42 @@ def test_warmup_without_default_voice(tts):
                       np.zeros(SPK_DIM, np.float32), 0.0)
     )
     srv.warmup(["hi"])  # uses the registered voice; must not raise
+
+
+def test_http_streaming_endpoint(tts):
+    """POST /synthesize_stream: chunked WAV response whose PCM payload
+    decodes to the full utterance; the first chunk arrives before the
+    stream completes (TTFA < total)."""
+    import http.client
+    import struct
+    import time
+
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=5.0,
+    )
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        body = json.dumps({"text": "hello world"})
+        t0 = time.monotonic()
+        conn.request(
+            "POST", "/synthesize_stream", body,
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        first = resp.read(44)            # WAV header
+        t_first = time.monotonic() - t0
+        assert first[:4] == b"RIFF" and first[8:12] == b"WAVE"
+        rest = resp.read()
+        t_total = time.monotonic() - t0
+        assert len(rest) > 1000          # PCM16 audio followed
+        pcm = np.frombuffer(rest, "<i2")
+        assert np.isfinite(pcm.astype(np.float32)).all()
+        sr = struct.unpack("<I", first[24:28])[0]
+        assert sr == tts.params["audio_params"]["sample_rate"]
+        assert t_first <= t_total
+    finally:
+        server.stop()

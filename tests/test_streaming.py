@@ -1,0 +1,169 @@
+"""Streaming synthesis: segmented decode + delayed-exact postnet must
+reproduce the offline mel path exactly; chunked vocoding yields
+incremental audio (the TTFA capability — serving.py:synthesize_stream)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from msa_tts_tpu.models import init_tacotron2nv
+from msa_tts_tpu.serving import AdaptiveTTS
+
+
+AP = dict(
+    sample_rate=22050, n_fft=512, win_length=512, hop_length=128,
+    f_min=0.0, f_max=8000.0, n_mels=20, griffinlim_iters=4,
+)
+
+MODEL = {
+    "mask_padding": False,
+    "n_mel_channels": 20,
+    "n_frames_per_step": 2,
+    "n_symbols": 200,
+    "symbols_embedding_dim": 16,
+    "encoder_n_convolutions": 2,
+    "encoder_embedding_dim": 16,
+    "encoder_kernel_size": 5,
+    "speaker_emb_type": "static",
+    "num_speakers": 1,
+    "speaker_embedding_dim": 6,
+    "speaker_embedding_dim_lin": 4,
+    "attention_rnn_dim": 20,
+    "decoder_rnn_dim": 20,
+    "prenet_dim": 12,
+    "max_decoder_steps": 40,
+    "gate_threshold": 0.5,
+    "p_attention_dropout": 0.1,
+    "p_decoder_dropout": 0.1,
+    "decoder_no_early_stopping": True,
+    "postnet_embedding_dim": 16,
+    "postnet_kernel_size": 5,
+    "postnet_n_convolutions": 3,
+    "attention_params": {
+        "attention_type": "ForwardAttention",
+        "attention_dim": 16,
+        "attention_location_n_filters": 8,
+        "attention_location_kernel_size": 15,
+        "windowing": False,
+        "norm": "softmax",
+        "forward_attn": True,
+        "trans_agent": True,
+        "forward_attn_mask": False,
+    },
+}
+
+
+def _make_tts(**model_over):
+    from msa_tts_tpu.models import config_from_params
+
+    mp = dict(MODEL, **model_over)
+    params = {"model": mp, "audio_params": dict(AP)}
+    cfg = config_from_params(mp)
+    model_params, model_state = init_tacotron2nv(
+        jax.random.PRNGKey(3), cfg
+    )
+    return AdaptiveTTS(params, model_params, model_state)
+
+
+EMB = np.linspace(-1, 1, 6).astype(np.float32)
+
+
+def test_streamed_mel_matches_offline():
+    """vocoder='none': the concatenated streamed postnet mel matches the
+    offline synthesize() mel (same math/rng schedule; the segmented
+    decode and offline while-loop are separately-compiled XLA programs,
+    so fp reassociation noise amplified through the autoregressive
+    feedback bounds equality at ~1e-2, not bitwise)."""
+    tts = _make_tts()
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=7, chunk_frames=10,
+    ))
+    assert len(chunks) > 1  # actually incremental
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=2e-2)
+    # the overwhelming majority of entries agree to float precision
+    close = np.abs(streamed - offline) < 1e-5
+    assert close.mean() > 0.5
+
+
+def test_streamed_mel_matches_offline_with_early_stop():
+    """Gate-threshold early stop: lengths and mel content still match
+    offline (threshold far below the ~0.5 sigmoid of an untrained gate,
+    so the stop decision is deterministic on both paths)."""
+    tts = _make_tts(decoder_no_early_stopping=False, gate_threshold=0.45)
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=5, chunk_frames=8,
+    ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
+
+def test_streamed_audio_griffinlim_chunks():
+    """GL streaming: multiple finite wav chunks; total samples track the
+    mel length (per-chunk phase is the documented approximation, so no
+    bit-parity claim — just structural integrity)."""
+    tts = _make_tts()
+    mel = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="griffinlim", spk_emb=EMB,
+        segment_steps=8, chunk_frames=12, vocode_ctx_frames=4,
+    ))
+    assert len(chunks) > 1
+    wav = np.concatenate(chunks)
+    assert np.isfinite(wav).all()
+    hop = AP["hop_length"]
+    T = mel.shape[-1]
+    # every full chunk contributes chunk_frames·hop samples; edges may
+    # lose up to (ctx+1)·hop to the centered-istft trim
+    assert abs(len(wav) - T * hop) <= 6 * hop
+
+
+def test_streamed_audio_hifigan_matches_offline_core():
+    """HiFi-GAN streaming with generous context: interior samples match
+    the offline (whole-mel) vocoding — the conv receptive field sits
+    inside the context so trimmed chunks are exact."""
+    from msa_tts_tpu.vocoders.hifigan import HiFiGAN, init_generator
+
+    h = {
+        "resblock": "2",
+        "upsample_rates": [8, 4, 4],
+        "upsample_kernel_sizes": [16, 8, 8],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+    }
+    gen = init_generator(jax.random.PRNGKey(0), h, n_mels=20)
+    voc = HiFiGAN.from_params(gen, h)
+
+    tts = _make_tts()
+    tts.attach_vocoder("hifigan", voc)
+    mel = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    offline = np.asarray(voc.inference(mel))
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="hifigan", spk_emb=EMB,
+        segment_steps=8, chunk_frames=12, vocode_ctx_frames=12,
+    ))
+    wav = np.concatenate(chunks)
+    hop = 128
+    n = min(len(wav), len(offline))
+    # compare the interior (skip one chunk at each end)
+    lo, hi = 12 * hop, n - 12 * hop
+    if hi > lo:
+        np.testing.assert_allclose(
+            wav[lo:hi], offline[lo:hi], atol=1e-4
+        )
