@@ -73,3 +73,46 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), state
     )
+
+
+class DpShard:
+    """Data-parallel sharding kit for the vocoder trainers: one ``dp``
+    mesh axis, replicated params/optimizer state, batch sharded on its
+    leading axis (GSPMD inserts the gradient psum).  Built from the
+    same ``parallel: {dp: N}`` config block the acoustic trainers use;
+    ``DpShard.from_params`` returns None when no block is present."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.batch_sh = batch_sharding(mesh)
+        self.repl = replicated(mesh)
+
+    @classmethod
+    def from_params(cls, params: dict):
+        pcfg = params.get("parallel")
+        if not pcfg:
+            return None
+        from .mesh import make_mesh
+
+        mesh = make_mesh(dp=pcfg.get("dp"), task=int(pcfg.get("task", 1)))
+        dp, task = mesh.devices.shape
+        print(f"[parallel] SPMD mesh dp={dp} task={task} "
+              f"({mesh.size} devices)")
+        return cls(mesh)
+
+    def replicate(self, tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.repl), tree
+        )
+
+    def put_batch(self, *arrays):
+        """Shard arrays on their leading axis (replicate any whose batch
+        does not divide the mesh — correct, just not parallel)."""
+        out = []
+        for a in arrays:
+            sh = (
+                self.batch_sh
+                if a.shape[0] % self.mesh.size == 0 else self.repl
+            )
+            out.append(jax.device_put(a, sh))
+        return tuple(out) if len(out) > 1 else out[0]

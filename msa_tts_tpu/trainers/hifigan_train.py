@@ -79,6 +79,17 @@ class HiFiGANTrainer:
         self.tx_d = optax.adamw(lr, b1=0.8, b2=0.99, weight_decay=0.0)
         self.opt_g = self.tx_g.init(self.gen_params)
         self.opt_d = self.tx_d.init(self.disc_params)
+
+        # optional SPMD: ``parallel: {dp: N}`` shards the batch axis
+        # over an ICI mesh; params/opts replicated, grad psums by GSPMD
+        from ..parallel.sharding import DpShard
+
+        self.shard = DpShard.from_params(params)
+        if self.shard is not None:
+            for attr in ("gen_params", "disc_params", "opt_g", "opt_d"):
+                setattr(self, attr,
+                        self.shard.replicate(getattr(self, attr)))
+
         self._step_jit = jax.jit(self._step, donate_argnums=(0, 1, 2, 3))
         self.step_global = 0
 
@@ -171,6 +182,8 @@ class HiFiGANTrainer:
         metrics = {}
         for step in range(1, n_steps + 1):
             mels, wav = self._sample_batch(rng, batch_size)
+            if self.shard is not None:
+                mels, wav = self.shard.put_batch(mels, wav)
             (
                 self.gen_params,
                 self.disc_params,

@@ -64,6 +64,17 @@ class WaveRNNTrainer:
         self.model_params, self.model_state = init_wavernn(rng, self.cfg)
         self.tx = optax.adam(float(params.get("lr", 1e-4)))
         self.opt_state = self.tx.init(self.model_params)
+
+        # optional SPMD: ``parallel: {dp: N}`` shards the batch axis
+        # over an ICI mesh; params/opt replicated, grad psum by GSPMD
+        from ..parallel.sharding import DpShard
+
+        self.shard = DpShard.from_params(params)
+        if self.shard is not None:
+            self.model_params = self.shard.replicate(self.model_params)
+            self.model_state = self.shard.replicate(self.model_state)
+            self.opt_state = self.shard.replicate(self.opt_state)
+
         self._step_jit = jax.jit(self._step, donate_argnums=(0, 1))
         self.step_global = 0
 
@@ -141,6 +152,8 @@ class WaveRNNTrainer:
         n_steps = int(params.get("n_steps", 1000))
         for step in range(1, n_steps + 1):
             mels, wav = self._sample_batch(rng, batch_size)
+            if self.shard is not None:
+                mels, wav = self.shard.put_batch(mels, wav)
             self.model_params, self.opt_state, loss = self._step_jit(
                 self.model_params, self.opt_state, mels, wav
             )

@@ -111,10 +111,11 @@ def test_maml_trainer_parallel_config_matches_single(tmp_path):
     )
 
 
-def test_continual_er_parallel_smoke(tmp_path):
-    """The continual stream runs under a mesh (batches sharded through
-    the shared ``_unpack_batch`` path) and produces the full artifact
-    set; final params match the single-device stream."""
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 4)])
+def test_continual_er_parallel_matches_single(tmp_path, mesh_shape):
+    """The continual ER stream under a mesh must reproduce the
+    single-device stream NUMERICALLY: same final params and the same
+    cumutest matrix (per-task per-speaker losses), at two mesh shapes."""
     from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
 
     root = str(tmp_path / "corpus")
@@ -144,8 +145,10 @@ def test_continual_er_parallel_smoke(tmp_path):
     t_single = ExperienceReplayTrainer(**mkparams("single"))
     t_single.run()
 
+    dp, task = mesh_shape
     t_par = ExperienceReplayTrainer(
-        **mkparams("parallel", parallel={"dp": 2, "task": 1})
+        **mkparams(f"parallel{dp}x{task}",
+                   parallel={"dp": dp, "task": task})
     )
     t_par.run()
 
@@ -153,6 +156,16 @@ def test_continual_er_parallel_smoke(tmp_path):
     assert sorted(t_par.cumutest_dict.keys()) == sorted(
         t_single.cumutest_dict.keys()
     )
+    # the evaluation matrix itself must match, not just its shape
+    for key, ref_entry in t_single.cumutest_dict.items():
+        par_entry = t_par.cumutest_dict[key]
+        assert par_entry["speaker"] == ref_entry["speaker"]
+        assert sorted(par_entry["losses"]) == sorted(ref_entry["losses"])
+        for spk, ref_loss in ref_entry["losses"].items():
+            np.testing.assert_allclose(
+                par_entry["losses"][spk], ref_loss,
+                atol=5e-4, rtol=1e-3,
+            )
     _leaves_close(
         t_par.train_state.params, t_single.train_state.params, atol=3e-5
     )
@@ -212,3 +225,96 @@ def test_parallel_trainer_resume_on_different_mesh(tmp_path):
     _leaves_close(
         t_res.train_state.params, t_ref.train_state.params, atol=3e-5
     )
+
+
+def _vocoder_corpus(tmp_path, n_utts=4):
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=n_utts, seed=37,
+        min_dur=0.4, max_dur=0.6,
+    )
+    return root
+
+
+def test_wavernn_trainer_parallel_matches_single(tmp_path):
+    """dp-sharded WaveRNN training (batch over 8 devices) reproduces the
+    single-device run: identical batch schedule (same np seed), GSPMD
+    gradient psum must not change the math."""
+    from msa_tts_tpu.trainers.wavernn_train import WaveRNNTrainer
+
+    root = _vocoder_corpus(tmp_path)
+
+    def mkparams(out, **extra):
+        params = synthetic_params(root, n_speakers=2, batch_size=8)
+        params.update(
+            method="wavernn", experiment_name="voc",
+            use_tensorboard=False,
+            voc_mode="MOL", rnn_dims=32, fc_dims=32, compute_dims=16,
+            res_out_dims=16, res_blocks=2, pad=2,
+            upsample_factors=(4, 8, 8), seq_len=1024,
+            n_steps=4, batch_size=8, lr=1e-3,
+            tb_log_interval=100, print_interval=100,
+            ckpt_save_step_interval=1000,
+            output_path=str(tmp_path / out),
+        )
+        params.update(extra)
+        return params
+
+    t_single = WaveRNNTrainer(**mkparams("single"))
+    loss_single = t_single.run()
+
+    t_par = WaveRNNTrainer(
+        **mkparams("parallel", parallel={"dp": 8})
+    )
+    assert t_par.shard is not None and t_par.shard.mesh.size == 8
+    loss_par = t_par.run()
+
+    np.testing.assert_allclose(loss_par, loss_single, atol=1e-4)
+    _leaves_close(t_par.model_params, t_single.model_params, atol=3e-5)
+
+
+def test_hifigan_trainer_parallel_matches_single(tmp_path):
+    """dp-sharded HiFi-GAN adversarial training (gen+disc batches over
+    4 devices) reproduces the single-device run."""
+    from msa_tts_tpu.trainers.hifigan_train import HiFiGANTrainer
+
+    root = _vocoder_corpus(tmp_path)
+
+    def mkparams(out, **extra):
+        params = synthetic_params(root, n_speakers=2, batch_size=4)
+        params.update(
+            method="hifigan", experiment_name="voc",
+            use_tensorboard=False,
+            audio_processor="ap2",
+            audio_params={
+                "n_fft": 1024, "hop_size": 256, "win_size": 1024,
+                "n_mels": 80, "sample_rate": 22050, "fmin": 0.0,
+                "fmax": 8000.0, "center": False,
+            },
+            hifigan={
+                "resblock": "2",
+                "upsample_rates": [8, 8, 4],
+                "upsample_kernel_sizes": [16, 16, 8],
+                "upsample_initial_channel": 32,
+                "resblock_kernel_sizes": [3],
+                "resblock_dilation_sizes": [[1, 3]],
+            },
+            segment_size=2048, n_steps=3, batch_size=4, lr=2e-4,
+            tb_log_interval=100, print_interval=100,
+            ckpt_save_step_interval=1000,
+            output_path=str(tmp_path / out),
+        )
+        params.update(extra)
+        return params
+
+    t_single = HiFiGANTrainer(**mkparams("single"))
+    t_single.run()
+
+    t_par = HiFiGANTrainer(
+        **mkparams("parallel", parallel={"dp": 4})
+    )
+    assert t_par.shard is not None and t_par.shard.mesh.size == 4
+    t_par.run()
+
+    _leaves_close(t_par.gen_params, t_single.gen_params, atol=5e-5)
+    _leaves_close(t_par.disc_params, t_single.disc_params, atol=5e-5)
