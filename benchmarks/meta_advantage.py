@@ -127,7 +127,7 @@ N_QUERY = 8
 K_TASKS = 4                  # speakers per meta-batch
 S_SHOTS = 4                  # support utterances per task
 N_INNER_TRAIN = 3            # inner steps during meta-training
-INNER_LR = 1e-2              # examples/maml/params.yml optim_inner
+INNER_LR = 5e-2              # tuned: 4-shot full-batch inner steps
 OUTER_LR = 1e-3              # examples/maml/params.yml optim_outer
 EVAL_SHOTS = 4               # support utterances at meta-test
 K_EVAL = (0, 1, 5, 10)
@@ -146,8 +146,8 @@ def build_corpus(seed: int = 0):
     def one_speaker(spk_seed):
         r = np.random.default_rng(spk_seed)
         # the hidden voice: per-channel affine
-        a = r.uniform(0.6, 1.4, n_mel).astype(np.float32)
-        b = (0.4 * r.standard_normal(n_mel)).astype(np.float32)
+        a = r.uniform(0.4, 1.6, n_mel).astype(np.float32)
+        b = (0.6 * r.standard_normal(n_mel)).astype(np.float32)
         # the visible conditioning: uncorrelated with the voice
         emb = r.standard_normal(emb_dim).astype(np.float32)
 
@@ -402,7 +402,8 @@ def adapt_eval_torch(cfg, tstate, test_spk, k: int):
 
 # ------------------------------------------------------------------ main
 def run(outer_steps: int = 200, with_reference: bool = True,
-        methods=("maml", "reptile"), seed: int = 0):
+        methods=("maml", "reptile"), seed: int = 0,
+        joint_mults=(1, 4), k_eval=K_EVAL):
     # the second-order MAML step takes ~2 min of XLA compile on CPU;
     # persist it so reruns (and the pytest) start warm
     from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
@@ -420,8 +421,9 @@ def run(outer_steps: int = 200, with_reference: bool = True,
         rows.append({"init": method, "train_loss": round(tr_loss, 4),
                      "outer_steps": outer_steps})
 
-    # joint baselines: equal outer steps, and 4x (budget-generous)
-    for mult in (1, 4):
+    # joint baselines: equal outer steps, and a budget-generous
+    # multiple (the meta methods must win at low k even against it)
+    for mult in joint_mults:
         cfg, tstate, tr_loss = joint_train(
             train_spk, outer_steps * mult, seed
         )
@@ -432,7 +434,7 @@ def run(outer_steps: int = 200, with_reference: bool = True,
 
     results = {}
     for name, (cfg, tstate) in inits.items():
-        for k in K_EVAL:
+        for k in k_eval:
             losses, mcds = adapt_eval(cfg, tstate, test_spk, k, seed)
             results[(name, k)] = (losses, mcds)
             rows.append({
