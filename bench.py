@@ -26,7 +26,12 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "BASELINE_MEASURED.json")
 
-# Matched workload (identical for both implementations).
+# Matched workload (identical for both implementations).  The
+# *baseline-matched* shape is K=4,S=4 (BASELINE_MEASURED.json);
+# `--k/--s` override it for the batch-scaling sweep
+# (benchmarks/batch_sweep.py) — frames/s stays comparable because the
+# torch reference runs tasks sequentially, so its throughput is flat
+# in K·S (re-measured at the tuned shape, see BENCHMARKS.md).
 K, S = 4, 4               # tasks × shots
 T_IN, T_MEL = 96, 320     # phoneme / mel-frame lengths
 N_INNER = 1
@@ -34,11 +39,25 @@ N_MELS = 80
 FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
 
 # Tuned execution config (measured on TPU v5e; see git history):
-# remat off (memory fits), decoder scan unrolled 16x, bf16 compute with
-# fp32 master weights/loss — 2.7x over the naive fp32 configuration.
+# decoder scan unrolled 16x, bf16 compute with fp32 master
+# weights/loss — 2.7x over the naive fp32 configuration.  Remat is off
+# at the baseline shape (memory fits) and on for large meta-batches.
 SCAN_UNROLL = 16
-REMAT = False
+REMAT = False        # inner-step jax.checkpoint in make_maml_step —
+                     # measured to INCREASE peak HBM here (stores the
+                     # step twice); superseded by decoder scan_remat
+SCAN_REMAT = False   # per-decoder-step remat: the real memory lever
 BF16 = True
+
+
+def set_workload(k: int, s: int, remat: bool | None = None) -> None:
+    """Override the meta-batch shape (and optionally decoder-scan
+    remat) — used by the CLI flags and the batch sweep."""
+    global K, S, FRAMES_PER_STEP, SCAN_REMAT
+    K, S = int(k), int(s)
+    FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
+    if remat is not None:
+        SCAN_REMAT = bool(remat)
 
 MODEL_DIMS = dict(
     symbols_embedding_dim=512,
@@ -124,6 +143,7 @@ def _model_cfg(r: int = 1):
         attention_params=dict(ATTN),
         decoder_no_early_stopping=False,
         scan_unroll=SCAN_UNROLL,
+        scan_remat=SCAN_REMAT,
     )
     return config_from_params(mp)
 
@@ -452,10 +472,22 @@ def run_torch_reference(n_steps: int = 2) -> dict:
     }
 
 
+def _flag_value(name: str):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return None
+
+
 def main():
     from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    k, s = _flag_value("--k"), _flag_value("--s")
+    if k or s:
+        set_workload(k or K, s or S,
+                     remat=True if "--remat" in sys.argv else None)
+    elif "--remat" in sys.argv:
+        set_workload(K, S, remat=True)
     if "--recompile-audit" in sys.argv:
         print(json.dumps(recompile_audit(), indent=2))
         return
@@ -481,6 +513,9 @@ def main():
         result = run_jax(want_mfu=True)
         print(json.dumps({
             "metric": "meta_train_mfu",
+            "k": K, "s": S, "scan_remat": SCAN_REMAT,
+            "sec_per_step": round(result["sec_per_step"], 4),
+            "compile_sec": round(result["compile_sec"], 1),
             "frames_per_sec": round(result["frames_per_sec"], 1),
             "flops_per_step": result.get("flops_per_step"),
             "achieved_tflops": result.get("achieved_tflops"),

@@ -124,6 +124,12 @@ class DecoderConfig(NamedTuple):
     # lax.scan unroll factor for the teacher-forced frame loop (TPU perf
     # knob: higher = fewer scan iterations, bigger compiled body).
     scan_unroll: int = 1
+    # Rematerialize each teacher-forced step on the backward pass:
+    # stores only the inter-step carries (~KBs/row) instead of every
+    # step's internals (~100s of KB/row × T_dec), trading recompute the
+    # latency-bound decoder has spare cycles for.  This is THE memory
+    # lever for large meta-batches (see BENCHMARKS.md batch sweep).
+    scan_remat: bool = False
 
 
 def init_decoder(rng, cfg: DecoderConfig):
@@ -354,6 +360,11 @@ def decoder_forward(
         )
         return new_carry, outs
 
+    if cfg.scan_remat:
+        # prevent_cse=False is the documented-safe setting under scan
+        # (no cross-iteration CSE to defend against) and avoids the
+        # checkpoint wrapper pessimizing the forward pass.
+        scan_body = jax.checkpoint(scan_body, prevent_cse=False)
     _, (mels, gates, aligns) = jax.lax.scan(
         scan_body, carry0, (dec_in, step_keys), unroll=cfg.scan_unroll
     )

@@ -67,6 +67,7 @@ class ModelConfig(NamedTuple):
     freeze_decoder: bool = False
     p_prenet_dropout: float = 0.5
     scan_unroll: int = 1
+    scan_remat: bool = False
 
     @property
     def conditioned_embedding_dim(self) -> int:
@@ -95,6 +96,7 @@ class ModelConfig(NamedTuple):
             attention_params=self.attention_params,
             p_prenet_dropout=self.p_prenet_dropout,
             scan_unroll=self.scan_unroll,
+            scan_remat=self.scan_remat,
         )
 
 
@@ -132,6 +134,7 @@ def config_from_params(model_params: dict) -> ModelConfig:
         freeze_decoder=p.get("freeze_decoder", False),
         p_prenet_dropout=p.get("p_prenet_dropout", 0.5),
         scan_unroll=p.get("scan_unroll", 1),
+        scan_remat=p.get("scan_remat", False),
     )
 
 

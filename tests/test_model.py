@@ -250,3 +250,35 @@ def test_reduction_factor_2():
     assert mel_out.shape == mels.shape
     assert gate.shape == (2, 16)
     assert align.shape == (2, 8, inputs.shape[1])
+
+
+def test_scan_remat_gradient_parity():
+    """scan_remat changes WHERE activations come from on the backward
+    pass (recompute vs storage), never the math: loss and gradients
+    must match the no-remat forward to float tolerance.  This guards
+    the memory lever used for large meta-batches (bench.py --remat)."""
+    cfg = tiny_config()
+    cfg_r = tiny_config(scan_remat=True)
+    params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_of(c):
+        def f(p):
+            outs, _ = tacotron2nv_forward(
+                p, state, c, *batch, rng, train=True
+            )
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_of(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss_of(cfg_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        # recompute reorders float reductions; measured reassociation
+        # noise is ≤2e-4 absolute on O(10..50) gradients of this loss
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-2
+        )
