@@ -26,13 +26,14 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "BASELINE_MEASURED.json")
 
-# Matched workload (identical for both implementations).  The
-# *baseline-matched* shape is K=4,S=4 (BASELINE_MEASURED.json);
-# `--k/--s` override it for the batch-scaling sweep
-# (benchmarks/batch_sweep.py) — frames/s stays comparable because the
-# torch reference runs tasks sequentially, so its throughput is flat
-# in K·S (re-measured at the tuned shape, see BENCHMARKS.md).
-K, S = 4, 4               # tasks × shots
+# Matched workload (identical for both implementations).  K=8,S=8 is
+# the measured single-chip knee of the round-3 batch sweep
+# (BENCHMARKS.md): 64 rows is the largest meta-batch that fits without
+# remat, and every remat-unlocked larger batch measured SLOWER.
+# `--k/--s` override it; the torch baseline is measured at this same
+# shape (BASELINE_MEASURED.json — sequential tasks, so its frames/s is
+# nearly flat in K·S anyway).
+K, S = 8, 8               # tasks × shots
 T_IN, T_MEL = 96, 320     # phoneme / mel-frame lengths
 N_INNER = 1
 N_MELS = 80
