@@ -529,10 +529,13 @@ def main():
             json.dump(
                 {
                     "description": (
-                        "Reference PyTorch-CPU second-order MAML outer "
-                        "step, sequential tasks via higher, 4 BLAS "
-                        "threads (reference limit_threads), matched "
-                        "workload"
+                        "Reference PyTorch-CPU MAML outer step on the "
+                        "matched workload, sequential tasks, 4 BLAS "
+                        "threads (reference limit_threads). `higher` "
+                        "not installed in this image: measured as "
+                        "support fwd+bwd + query fwd+bwd per task — a "
+                        "LOWER bound on the reference's second-order "
+                        "cost (conservative for speedup claims)."
                     ),
                     "measured": result,
                 },
