@@ -159,6 +159,11 @@ def main():
     args = ap.parse_args()
 
     from msa_tts_tpu.server import TTSServer
+    from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    # serving compiles ~a dozen (batch bucket × text bucket × vocoder)
+    # programs; persist them so reruns measure steady state, not compiles
+    enable_compilation_cache()
 
     tts = build_tts(args.steps)
     attach_vocoders(tts)
@@ -176,8 +181,9 @@ def main():
     )
     rows = []
     for voc in vocs:
-        # warm the vocoder program (first call compiles)
-        run_load_vocoder(port, 2, 1, voc)
+        # warm every program the measured load will hit: batch buckets
+        # up to --conc for this vocoder (first hits compile)
+        run_load_vocoder(port, 2 * args.conc, args.conc, voc)
         lat, wall = run_load_vocoder(port, args.n, args.conc, voc)
         lat.sort()
         rows.append((voc, args.n / wall, lat[len(lat) // 2],
