@@ -90,7 +90,10 @@ _FALLBACK_SINGLE = {
 class FallbackBackend:
     """Rule-based English letter→IPA mapping used when espeak is absent."""
 
-    def phonemize_chunk(self, text: str, language: str = "en-us") -> str:
+    def word_phone_lists(self, text: str,
+                         language: str = "en-us") -> list[list[str]]:
+        """Per-word phone-token lists (the native unit this backend
+        produces — lets ``phonemize()`` apply phone separators)."""
         words = []
         for word in text.lower().split():
             out = []
@@ -110,8 +113,13 @@ class FallbackBackend:
                     i += 1
             if out:
                 # Rudimentary primary stress on the word.
-                words.append("ˈ" + "".join(out))
-        return " ".join(words)
+                words.append(["ˈ" + out[0]] + out[1:])
+        return words
+
+    def phonemize_chunk(self, text: str, language: str = "en-us") -> str:
+        return " ".join(
+            "".join(w) for w in self.word_phone_lists(text, language)
+        )
 
 
 class SegmentsBackend:
@@ -135,7 +143,10 @@ class SegmentsBackend:
             raise ValueError(f"empty g2p profile: {profile_path}")
         self._max_len = max(len(k) for k in self.mapping)
 
-    def phonemize_chunk(self, text: str, language: str = "") -> str:
+    def word_phone_lists(self, text: str,
+                         language: str = "") -> list[list[str]]:
+        """Per-word phone-token lists from longest-match tokenization
+        (lets ``phonemize()`` apply phone separators)."""
         out = []
         for word in text.lower().split():
             phones = []
@@ -152,8 +163,13 @@ class SegmentsBackend:
                         phones.append(word[i])
                     i += 1  # unknown grapheme: skip (lenient mode)
             if phones:
-                out.append("".join(phones))
-        return " ".join(out)
+                out.append(phones)
+        return out
+
+    def phonemize_chunk(self, text: str, language: str = "") -> str:
+        return " ".join(
+            "".join(w) for w in self.word_phone_lists(text, language)
+        )
 
 
 class Grapheme2Phoneme:

@@ -378,9 +378,13 @@ def _install_fake_espeak(monkeypatch):
             sep = "_" if any(c.startswith("--sep=") for c in cmd) else ""
             out = _fake_espeak_line(line, sep)
             return sp.CompletedProcess(cmd, 0, out.encode(), b"")
-        # our path: text after "--", plain --ipa (no separators)
+        # our path: text after "--"; --sep=_ requests phone boundaries
+        # (used by the phonemize() separator API, not the G2P path)
         line = cmd[cmd.index("--") + 1]
-        out = _fake_espeak_line(line, "")
+        sep = "_" if any(
+            isinstance(c, str) and c.startswith("--sep=") for c in cmd
+        ) else ""
+        out = _fake_espeak_line(line, sep)
         if kw.get("text"):
             return sp.CompletedProcess(cmd, 0, out, "")
         return sp.CompletedProcess(cmd, 0, out.encode(), b"")
