@@ -475,7 +475,10 @@ def run_torch_reference(n_steps: int = 2) -> dict:
 
 def _flag_value(name: str):
     if name in sys.argv:
-        return sys.argv[sys.argv.index(name) + 1]
+        i = sys.argv.index(name)
+        if i + 1 >= len(sys.argv):
+            raise SystemExit(f"usage: {name} <value>")
+        return sys.argv[i + 1]
     return None
 
 

@@ -432,29 +432,15 @@ def decoder_infer(
 
     def body(s):
         step = s["step"]
-        k_step = jax.random.fold_in(rng, step)
-        k_pre, k_dec = jax.random.split(k_step)
-        prenet_out = prenet_apply(
-            params["prenet"], s["decoder_input"], k_pre,
-            dropout_rate=cfg.p_prenet_dropout,
+        core = {k: s[k] for k in _INFER_CORE_KEYS}
+        new_core, (mel_out, gate_col, alignment) = _infer_step(
+            params, cfg, attn_step_fn, encoder_outputs,
+            processed_inputs, mask, rng, core, training=training,
         )
-        new_carry, (mel_out, gate, alignment) = _decode_step(
-            params, cfg, attn_step_fn, s["carry"], prenet_out,
-            encoder_outputs, processed_inputs, mask, k_dec,
-            training=training,
-        )
-        dec = (
-            jax.nn.sigmoid(gate[:, 0]) <= cfg.gate_threshold
-        ).astype(jnp.int32)
-        not_finished = s["not_finished"] * dec
         return dict(
-            step=step + 1,
-            decoder_input=mel_out,
-            carry=new_carry,
-            not_finished=not_finished,
-            mel_lengths=s["mel_lengths"] + not_finished,
+            new_core,
             mels=s["mels"].at[step].set(mel_out),
-            gates=s["gates"].at[step].set(gate[:, 0]),
+            gates=s["gates"].at[step].set(gate_col),
             aligns=s["aligns"].at[step].set(alignment),
         )
 
@@ -479,6 +465,44 @@ def decoder_infer(
 # ---------------------------------------------------------------------------
 # Streaming (segmented) inference
 # ---------------------------------------------------------------------------
+
+_INFER_CORE_KEYS = (
+    "step", "decoder_input", "carry", "not_finished", "mel_lengths",
+)
+
+
+def _infer_step(params, cfg: DecoderConfig, attn_step_fn, encoder_outputs,
+                processed_inputs, mask, rng, s, *, training: bool):
+    """ONE autoregressive decoder step, shared by the offline while-loop
+    (``decoder_infer``) and the streaming segment scan
+    (``decoder_infer_segment``).  The streaming path's bit-exact-chaining
+    contract rests on both using this single body: same
+    ``fold_in(rng, absolute_step)`` key schedule, same gate/carry math."""
+    step = s["step"]
+    k_step = jax.random.fold_in(rng, step)
+    k_pre, k_dec = jax.random.split(k_step)
+    prenet_out = prenet_apply(
+        params["prenet"], s["decoder_input"], k_pre,
+        dropout_rate=cfg.p_prenet_dropout,
+    )
+    new_carry, (mel_out, gate, alignment) = _decode_step(
+        params, cfg, attn_step_fn, s["carry"], prenet_out,
+        encoder_outputs, processed_inputs, mask, k_dec,
+        training=training,
+    )
+    dec = (
+        jax.nn.sigmoid(gate[:, 0]) <= cfg.gate_threshold
+    ).astype(jnp.int32)
+    not_finished = s["not_finished"] * dec
+    new_s = dict(
+        step=step + 1,
+        decoder_input=mel_out,
+        carry=new_carry,
+        not_finished=not_finished,
+        mel_lengths=s["mel_lengths"] + not_finished,
+    )
+    return new_s, (mel_out, gate[:, 0], alignment)
+
 
 def decoder_stream_init(cfg: DecoderConfig, batch: int, t_in: int, dtype):
     """Initial carried state for segmented autoregressive decoding —
@@ -525,30 +549,10 @@ def decoder_infer_segment(
     processed_inputs = prep_fn(params["attention_layer"], encoder_outputs)
 
     def body(s, _):
-        step = s["step"]
-        k_step = jax.random.fold_in(rng, step)
-        k_pre, k_dec = jax.random.split(k_step)
-        prenet_out = prenet_apply(
-            params["prenet"], s["decoder_input"], k_pre,
-            dropout_rate=cfg.p_prenet_dropout,
+        return _infer_step(
+            params, cfg, attn_step_fn, encoder_outputs,
+            processed_inputs, mask, rng, s, training=training,
         )
-        new_carry, (mel_out, gate, alignment) = _decode_step(
-            params, cfg, attn_step_fn, s["carry"], prenet_out,
-            encoder_outputs, processed_inputs, mask, k_dec,
-            training=training,
-        )
-        dec = (
-            jax.nn.sigmoid(gate[:, 0]) <= cfg.gate_threshold
-        ).astype(jnp.int32)
-        not_finished = s["not_finished"] * dec
-        new_s = dict(
-            step=step + 1,
-            decoder_input=mel_out,
-            carry=new_carry,
-            not_finished=not_finished,
-            mel_lengths=s["mel_lengths"] + not_finished,
-        )
-        return new_s, (mel_out, gate[:, 0], alignment)
 
     new_state, (mels, gates, aligns) = jax.lax.scan(
         body, state, None, length=n_seg

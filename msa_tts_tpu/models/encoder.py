@@ -50,12 +50,24 @@ def encoder_apply(
     train: bool = True,
     dropout_rate: float = 0.5,
     kernel_size: int = 5,
+    mask_pad: bool = False,
 ):
     """Apply the encoder.
 
     Args:
       x: (B, C, T) embedded character sequence (channels-first).
       input_lengths: (B,) valid lengths.
+      mask_pad: zero padded positions before/between the convolutions so
+        every conv window beyond the valid tail reads zeros — exactly
+        what an unpadded sequence's zero conv padding provides.  Output
+        at valid positions then does not depend on the padded length,
+        which the serving paths rely on for shape bucketing
+        (serving.py:synthesize_batch / synthesize_stream).  Off by
+        default: the reference torch encoder does not mask its convs
+        (pad embeddings leak into the last kernel//2·n_convs valid
+        positions of shorter rows in a padded batch), and the
+        bit-parity tests against imported reference weights require
+        that exact behavior.
 
     Returns ``(outputs (B, T, C), new_state)``.
     """
@@ -64,6 +76,13 @@ def encoder_apply(
     rngs = (
         jax.random.split(rng, n_convs) if rng is not None else [None] * n_convs
     )
+    valid = None
+    if mask_pad:
+        T = x.shape[-1]
+        valid = (
+            jnp.arange(T)[None, :] < input_lengths[:, None]
+        )[:, None, :]  # (B, 1, T)
+        x = jnp.where(valid, x, 0.0)
     for i, layer in enumerate(params["convolutions"]):
         pad = (kernel_size - 1) // 2
         x = N.conv1d(layer["conv"], x, padding=pad)
@@ -75,6 +94,10 @@ def encoder_apply(
         x = N.dropout(
             rngs[i], x, dropout_rate, deterministic=(not train or rng is None)
         )
+        if valid is not None:
+            # conv bias + BN shift make pad positions nonzero again;
+            # re-zero so the next conv's windows stay pad-independent
+            x = jnp.where(valid, x, 0.0)
 
     x = jnp.swapaxes(x, 1, 2)  # (B, T, C)
     outputs = R.bilstm(params["lstm"], x, input_lengths)

@@ -184,8 +184,13 @@ def init_tacotron2nv(rng, cfg: ModelConfig):
 
 
 def _encode(params, state, cfg: ModelConfig, inputs, input_lengths,
-            speaker_vecs, rng, train: bool):
-    """Shared embedding→encoder→speaker-conditioning path."""
+            speaker_vecs, rng, train: bool, mask_pad: bool = False):
+    """Shared embedding→encoder→speaker-conditioning path.
+
+    ``mask_pad`` makes the encoder output at valid positions independent
+    of the padded length (see encoder.py:encoder_apply) — used by the
+    serving paths; the training/parity paths keep reference semantics.
+    """
     emb = N.embedding(params["embedding"], inputs)  # (B, T, D)
     if cfg.freeze_charemb:
         emb = jax.lax.stop_gradient(emb)
@@ -194,7 +199,7 @@ def _encode(params, state, cfg: ModelConfig, inputs, input_lengths,
     enc_out, enc_state = encoder_apply(
         params["encoder"], state["encoder"], jnp.swapaxes(emb, 1, 2),
         input_lengths, rng=k_enc, train=train,
-        kernel_size=cfg.encoder_kernel_size,
+        kernel_size=cfg.encoder_kernel_size, mask_pad=mask_pad,
     )
     if cfg.use_residual_encoder:
         enc_out = enc_out + emb
@@ -288,6 +293,7 @@ def tacotron2nv_infer(
     rng,
     *,
     train: bool = False,
+    mask_pad: bool = False,
 ):
     """Autoregressive synthesis.
 
@@ -295,9 +301,12 @@ def tacotron2nv_infer(
     mel_lengths (B,), alignments (B, max_steps, T_in))``.
     ``mel_lengths`` is in decoder steps (multiply by ``n_frames_per_step``
     for frames).  The trailing buffer beyond ``mel_lengths`` is padding.
+    ``mask_pad`` decouples the result from text-padding length (serving
+    shape bucketing); default keeps reference parity — see ``_encode``.
     """
     enc_cond, _ = _encode(
-        params, state, cfg, inputs, input_lengths, speaker_vecs, rng, train
+        params, state, cfg, inputs, input_lengths, speaker_vecs, rng, train,
+        mask_pad=mask_pad,
     )
     k_dec = jax.random.fold_in(rng, 2)
     mel_outputs, gate_outputs, alignments, mel_lengths, n_steps = (

@@ -314,7 +314,9 @@ class TTSServer:
                 self._synth_group([t] * b, voice_name, vocoder, b)
 
     # ------------------------------------------------------ device call
-    def _synth_group(self, texts, voice_name, vocoder, pad_batch_to):
+    def _resolve_voice(self, voice_name):
+        """Voice-name → (Voice | None, default spk_emb | None); raises
+        on an unknown name or when neither a voice nor a default exists."""
         voice = None
         spk_emb = self._default_spk_emb
         if voice_name is not None:
@@ -325,6 +327,10 @@ class TTSServer:
             raise ValueError(
                 "no voice given and the server has no default_spk_emb"
             )
+        return voice, spk_emb
+
+    def _synth_group(self, texts, voice_name, vocoder, pad_batch_to):
+        voice, spk_emb = self._resolve_voice(voice_name)
         with self._device_lock:
             return self.tts.synthesize_batch(
                 texts, voice, vocoder=vocoder, spk_emb=spk_emb,
@@ -337,21 +343,27 @@ class TTSServer:
         """Generator of float32 wav chunks for /synthesize_stream.
         Streaming bypasses the dynamic batcher (it optimizes
         time-to-first-audio, not aggregate throughput); the device lock
-        keeps its jit dispatches from interleaving with batched ones."""
-        voice = None
-        spk_emb = self._default_spk_emb
-        if voice_name is not None:
-            voice = self._voices.get(voice_name)
-            if voice is None:
-                raise KeyError(f"unknown voice: {voice_name!r}")
-        elif spk_emb is None:
-            raise ValueError(
-                "no voice given and the server has no default_spk_emb"
-            )
-        with self._device_lock:
-            yield from self.tts.synthesize_stream(
-                text, voice, vocoder=vocoder, spk_emb=spk_emb,
-            )
+        keeps its jit dispatches from interleaving with batched ones.
+
+        The lock is taken per ``next()`` — i.e. around the device work
+        that produces each chunk — and RELEASED while the caller writes
+        to the client socket, so one slow streaming client cannot wedge
+        the batcher's /synthesize traffic behind a held lock."""
+        voice, spk_emb = self._resolve_voice(voice_name)
+        # Bucket the padded text length like the batched path so a
+        # deployment compiles a bounded set of stream programs (padding
+        # is masked out of the math — serving.py:synthesize_stream)
+        gen = self.tts.synthesize_stream(
+            text, voice, vocoder=vocoder, spk_emb=spk_emb,
+            text_pad_multiple=self.text_pad_multiple,
+        )
+        while True:
+            with self._device_lock:
+                try:
+                    chunk = next(gen)
+                except StopIteration:
+                    return
+            yield chunk
 
     # ------------------------------------------------------------- wavs
     def encode_wav(self, wav: np.ndarray) -> bytes:
@@ -572,8 +584,13 @@ def _make_handler(server: TTSServer):
                 for w in gen:
                     chunk(pcm(w))
             except Exception as e:  # noqa: BLE001 — mid-stream failure
+                # Do NOT send the terminal chunk: closing the connection
+                # with the chunked body unterminated is the HTTP-level
+                # truncation signal, so clients can tell half an
+                # utterance from a complete response.
                 print(f"[server] stream aborted: {e!r}", flush=True)
-            finally:
+                self.close_connection = True
+            else:
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
 

@@ -92,9 +92,12 @@ class AdaptiveTTS:
                 remat=False,
             )
         )
+        # mask_pad: serving pads/buckets text lengths for shape reuse —
+        # masking the encoder convs makes each row's output independent
+        # of that padding, so batched == single == streamed synthesis
         self._infer_jit = jax.jit(
             lambda p, s, i, il, sv, rng: tacotron2nv_infer(
-                p, s, self.cfg, i, il, sv, rng
+                p, s, self.cfg, i, il, sv, rng, mask_pad=True
             )
         )
         # Optional neural vocoders (attach_vocoder); Griffin-Lim needs none.
@@ -408,9 +411,12 @@ class _StreamingPostnet:
 
 class _StreamingVocoder:
     """Chunked vocoding with ±ctx frames of context, trimmed from the
-    output — conv vocoders reproduce their offline output wherever the
-    receptive field fits inside the context; Griffin-Lim estimates
-    phase per chunk (documented boundary approximation)."""
+    output.  Exactness depends on the vocoder: HiFi-GAN (feed-forward
+    conv) reproduces its offline output wherever the receptive field
+    fits inside the context; Griffin-Lim estimates phase per chunk
+    (boundary approximation); WaveRNN is sample-level autoregressive,
+    so each chunk restarts its GRU state/sampling noise — an
+    independent generation of that span, not the offline samples."""
 
     def __init__(self, vocode_fn, hop: int, chunk: int, ctx: int):
         self.vocode = vocode_fn       # (n_mel, W) -> wav np.ndarray
@@ -469,6 +475,7 @@ def synthesize_stream(
     segment_steps: int = 16,
     chunk_frames: int = 40,
     vocode_ctx_frames: int = 16,
+    text_pad_multiple: int = 1,
 ):
     """Generator: text → wav chunks (np.float32), start-to-first-chunk
     ≪ start-to-last (the TTFA win; see benchmarks/serving_stream.py).
@@ -477,9 +484,22 @@ def synthesize_stream(
     ``segment_steps``-step jitted segments (bit-exact chaining of the
     offline decoder — models/decoder.py:decoder_infer_segment) →
     delayed-exact streaming postnet → chunked vocoding.  The mel path
-    is identical to :meth:`synthesize`; only Griffin-Lim's per-chunk
-    phase estimate is approximate (use hifigan/wavernn for exact
-    streaming audio).
+    is identical to :meth:`synthesize`.  Audio exactness per vocoder:
+    hifigan reproduces its offline samples wherever the conv receptive
+    field fits inside ``vocode_ctx_frames``; Griffin-Lim estimates phase
+    per chunk (boundary approximation); wavernn is sample-level
+    autoregressive, so each chunk is an independent generation — same
+    voice/quality, not the offline sample sequence.
+
+    ``text_pad_multiple`` > 1 quantizes the padded phoneme length
+    (masked in the encoder convs/BiLSTM/attention — tacotron2nv.py:
+    ``_encode(mask_pad=True)`` — so the padding changes no math) so a
+    serving deployment compiles a bounded set of encode/segment
+    programs instead of one per distinct text length; server.py passes
+    its ``text_pad_multiple``.  The default 1 keeps the streamed mel
+    fp-identical to :meth:`synthesize` (padding is mathematically
+    inert, but a different padded T is a different XLA program, and
+    that fp noise grows through the autoregressive feedback).
     """
     from .models.decoder import decoder_infer_segment, decoder_stream_init
     from .models.tacotron2nv import _encode, postnet_apply
@@ -493,7 +513,11 @@ def synthesize_stream(
         text, convert_mode="text_to_phone_to_idx",
         language=self.params.get("language", "en-us"),
     )
-    inputs = jnp.asarray(np.asarray(seq, np.int32)[None])
+    m = max(int(text_pad_multiple), 1)
+    T = ((len(seq) + m - 1) // m) * m
+    padded = np.zeros((1, T), np.int32)
+    padded[0, : len(seq)] = seq
+    inputs = jnp.asarray(padded)
     in_len = jnp.asarray([len(seq)], jnp.int32)
 
     cfg = self.cfg
@@ -505,7 +529,7 @@ def synthesize_stream(
     key = ("seg", segment_steps)
     if key not in self._stream_jits:
         def enc_fn(p, s, i, il, sv, k):
-            return _encode(p, s, cfg, i, il, sv, k, False)
+            return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
 
         def seg_fn(p, enc, il, k, st):
             return decoder_infer_segment(
@@ -555,29 +579,49 @@ def synthesize_stream(
     while True:
         st, mels, gates, _ = seg_jit(params, enc_cond, in_len, k_dec, st)
         n_steps = int(st["step"])
-        finished = (
-            int(np.asarray(st["not_finished"]).sum()) == 0
-            if cfg.early_stopping else False
-        )
+        finished = int(np.asarray(st["not_finished"]).sum()) == 0
         at_cap = n_steps >= cfg.max_decoder_steps
-        final = finished or at_cap
         raw = np.asarray(mels[0])                    # (n_mel, seg·r)
-        L = max(int(np.asarray(st["mel_lengths"])[0]), 1) * r
-        if final:
-            # the offline while-loop's buffer holds mel_lengths + 1
-            # real decoder steps (the gate-firing step still writes its
-            # frame) and zeros beyond — feed the postnet the same
-            # real-frame prefix so its output matches offline exactly,
-            # but forward only mel_lengths·r frames to the vocoder
-            # (offline output trimming, tacotron2nv_infer + synthesize)
-            real = min(
-                (L // r + 1) * r, cfg.max_decoder_steps * r
-            )
-            raw = raw[:, : max(0, real - produced)]
+        # The segment scan decodes in fixed ``segment_steps`` strides, so
+        # it can overshoot max_decoder_steps by up to seg−1 steps the
+        # offline while-loop never runs — drop those frames and their
+        # mel_lengths increments (per-step +1, so min() reproduces the
+        # offline count exactly)
+        cap_frames = cfg.max_decoder_steps * r
+        if produced + raw.shape[-1] > cap_frames:
+            raw = raw[:, : max(0, cap_frames - produced)]
+        L = min(
+            max(int(np.asarray(st["mel_lengths"])[0]), 1) * r, cap_frames
+        )
+        if finished:
+            # offline trims output to mel_lengths·r frames regardless of
+            # early_stopping (synthesize above).  The postnet must see
+            # the same raw context offline saw beyond L:
+            #   early_stopping=True  — the while-loop exits once every
+            #     gate fired, so the buffer holds mel_lengths+1 real
+            #     steps (the firing step still writes its frame) and
+            #     zeros beyond → feed exactly (L//r+1)·r frames;
+            #   early_stopping=False — offline decodes to the step cap,
+            #     so frames past L are REAL context → keep decoding
+            #     until every vocoded frame (< L) has its true postnet
+            #     receptive field, then stop (decoding further changes
+            #     nothing the client hears).
+            if cfg.early_stopping:
+                need = (L // r + 1) * r
+            else:
+                need = L + post.ctx
+            need = min(need, cap_frames)
+            final = at_cap or (produced + raw.shape[-1] >= need)
+            if final:
+                raw = raw[:, : max(0, need - produced)]
+        else:
+            final = at_cap
         produced += raw.shape[-1]
         exact = post.push(raw, final=final)
-        cap = L if final else produced  # vocoder sees ≤ L·r total
-        take = max(0, min(exact.shape[-1], cap - emitted))
+        # vocoder sees ≤ L·r total — while un-finished L == produced, and
+        # once the gate fires L freezes (offline trim), so post-gate
+        # frames never reach the client even with early_stopping off
+        take = max(0, min(exact.shape[-1], L - emitted))
         emitted += take
         yield from voc.push(exact[:, :take], final=final)
         if final:

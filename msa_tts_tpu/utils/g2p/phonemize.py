@@ -32,9 +32,8 @@ import re
 import subprocess
 from concurrent.futures import ThreadPoolExecutor
 
-from .char_list import PUNCTUATIONS
 from .festival import FestivalBackend, parse_sexpr
-from .punctuation import Punctuation
+from .punctuation import DEFAULT_MARKS, Punctuation
 
 _LANG_FLAG_RE = re.compile(r"\([a-zA-Z][a-zA-Z-]*\)")
 
@@ -195,7 +194,7 @@ def phonemize(
     separator: Separator = default_separator,
     strip: bool = False,
     preserve_punctuation: bool = False,
-    punctuation_marks: str = PUNCTUATIONS,
+    punctuation_marks: str = DEFAULT_MARKS,
     with_stress: bool = False,
     language_switch: str = "keep-flags",
     njobs: int = 1,

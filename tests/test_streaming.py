@@ -109,6 +109,82 @@ def test_streamed_mel_matches_offline_with_early_stop():
     np.testing.assert_allclose(streamed, offline, atol=2e-2)
 
 
+def test_streamed_stops_at_gate_without_early_stopping():
+    """decoder_no_early_stopping=True with a firing gate: offline trims
+    its output to mel_lengths·r even though the decoder runs to the step
+    cap — the stream must deliver exactly those frames, not the
+    post-gate tail (regression: the stream used to yield every decoded
+    frame, far more audio than synthesize())."""
+    # this untrained gate's sigmoid ≈ 0.43 > 0.35 threshold → fires
+    # immediately (mel_lengths freezes at 1 step while the decoder
+    # keeps running to the cap)
+    tts = _make_tts(gate_threshold=0.35)  # no_early_stopping stays True
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    assert offline.shape[-1] < MODEL["max_decoder_steps"] * 2  # gate fired
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=3, chunk_frames=4,
+    ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
+
+def test_encode_mask_pad_invariance():
+    """_encode(mask_pad=True): the encoder output at valid positions
+    must not depend on how far the text was padded (the serving shape-
+    bucketing contract).  Without masking, pad-token embeddings leak
+    into the last kernel//2·n_convs valid positions through the conv
+    stack (reference semantics, kept for the parity path)."""
+    import jax.numpy as jnp
+
+    from msa_tts_tpu.models import config_from_params
+    from msa_tts_tpu.models.tacotron2nv import _encode
+
+    cfg = config_from_params(dict(MODEL))
+    params, state = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    seq = np.arange(1, 12, dtype=np.int32)  # 11 tokens
+    lens = jnp.asarray([len(seq)], jnp.int32)
+    emb = jnp.asarray(EMB[None])
+
+    def enc(padded_to):
+        x = np.zeros((1, padded_to), np.int32)
+        x[0, : len(seq)] = seq
+        out, _ = _encode(
+            params, state, cfg, jnp.asarray(x), lens, emb, None,
+            False, mask_pad=True,
+        )
+        return np.asarray(out)[0, : len(seq)]
+
+    np.testing.assert_allclose(enc(11), enc(16), atol=1e-5)
+    np.testing.assert_allclose(enc(11), enc(32), atol=1e-5)
+
+
+def test_stream_text_pad_bucketing_keeps_length():
+    """text_pad_multiple>1 (server shape bucketing) must not change how
+    much audio the client receives.  gate_threshold=0.9 keeps the
+    untrained ~0.5 gate sigmoid robustly below threshold so the length
+    is deterministically the step cap on both paths (content across
+    differently-shaped XLA programs diverges only by amplified fp
+    noise — the first frames still agree)."""
+    tts = _make_tts(gate_threshold=0.9)
+    kw = dict(vocoder="none", spk_emb=EMB, segment_steps=7,
+              chunk_frames=10)
+    base = np.concatenate(
+        list(tts.synthesize_stream("hello world", **kw)), axis=-1
+    )
+    padded = np.concatenate(
+        list(tts.synthesize_stream(
+            "hello world", text_pad_multiple=16, **kw
+        )),
+        axis=-1,
+    )
+    assert padded.shape == base.shape
+    np.testing.assert_allclose(padded[:, :8], base[:, :8], atol=2e-2)
+
+
 def test_streamed_audio_griffinlim_chunks():
     """GL streaming: multiple finite wav chunks; total samples track the
     mel length (per-chunk phase is the documented approximation, so no
