@@ -290,14 +290,17 @@ _METATEST_CACHE: dict = {}
 
 
 def _metatest_for(cfg, k: int):
-    """One jitted metatest per k, shared across every init being
+    """One jitted metatest per (cfg, k), shared across every init being
     evaluated — the XLA program is identical, recompiling it per
-    checkpoint would dominate the benchmark's runtime."""
-    if k not in _METATEST_CACHE:
-        _METATEST_CACHE[k] = jax.jit(make_metatest_fn(
+    checkpoint would dominate the benchmark's runtime.  cfg must be part
+    of the key: the jit closes over make_loss_fn(cfg), and two configs
+    can produce identical array shapes (jax.jit would not retrace)."""
+    key = (repr(cfg), k)  # cfg nests dicts → not hashable; repr is value-based
+    if key not in _METATEST_CACHE:
+        _METATEST_CACHE[key] = jax.jit(make_metatest_fn(
             make_loss_fn(cfg), optax.sgd(INNER_LR), k, remat=False
         ))
-    return _METATEST_CACHE[k]
+    return _METATEST_CACHE[key]
 
 
 def adapt_eval(cfg, tstate, test_spk, k: int, seed: int = 0):

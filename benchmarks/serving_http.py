@@ -61,7 +61,8 @@ def build_tts(max_decoder_steps: int = 400):
     return AdaptiveTTS(params, p0, s0)
 
 
-def run_load(port: int, n: int, conc: int) -> list[float]:
+def run_load(port: int, n: int, conc: int, vocoder: str | None = None,
+             timeout: float = 600) -> list[float]:
     lat: list[float] = []
     lock = threading.Lock()
     idx = iter(range(n))
@@ -73,15 +74,16 @@ def run_load(port: int, n: int, conc: int) -> list[float]:
                     i = next(idx)
                 except StopIteration:
                     return
-            body = json.dumps(
-                {"text": SENTENCES[i % len(SENTENCES)]}
-            ).encode()
+            payload = {"text": SENTENCES[i % len(SENTENCES)]}
+            if vocoder is not None:
+                payload["vocoder"] = vocoder
+            body = json.dumps(payload).encode()
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/synthesize", data=body,
                 headers={"Content-Type": "application/json"},
             )
             t0 = time.monotonic()
-            with urllib.request.urlopen(req, timeout=600) as r:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
                 assert r.status == 200
                 r.read()
             with lock:

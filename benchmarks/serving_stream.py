@@ -27,7 +27,6 @@ import argparse
 import json
 import os
 import sys
-import threading
 import time
 import urllib.request
 
@@ -85,43 +84,6 @@ def attach_vocoders(tts):
             **wr,
         ),
     )
-
-
-def run_load_vocoder(port: int, n: int, conc: int, vocoder: str):
-    """Like serving_http.run_load but with an explicit vocoder field."""
-    lat: list[float] = []
-    lock = threading.Lock()
-    idx = iter(range(n))
-
-    def worker():
-        while True:
-            with lock:
-                try:
-                    i = next(idx)
-                except StopIteration:
-                    return
-            body = json.dumps({
-                "text": SENTENCES[i % len(SENTENCES)],
-                "vocoder": vocoder,
-            }).encode()
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/synthesize", data=body,
-                headers={"Content-Type": "application/json"},
-            )
-            t0 = time.monotonic()
-            with urllib.request.urlopen(req, timeout=900) as r:
-                assert r.status == 200
-                r.read()
-            with lock:
-                lat.append(time.monotonic() - t0)
-
-    threads = [threading.Thread(target=worker) for _ in range(conc)]
-    t0 = time.monotonic()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    return lat, time.monotonic() - t0
 
 
 def measure_stream(port: int, vocoder: str, text: str, n: int = 3):
@@ -183,8 +145,8 @@ def main():
     for voc in vocs:
         # warm every program the measured load will hit: batch buckets
         # up to --conc for this vocoder (first hits compile)
-        run_load_vocoder(port, 2 * args.conc, args.conc, voc)
-        lat, wall = run_load_vocoder(port, args.n, args.conc, voc)
+        run_load(port, 2 * args.conc, args.conc, voc, timeout=900)
+        lat, wall = run_load(port, args.n, args.conc, voc, timeout=900)
         lat.sort()
         rows.append((voc, args.n / wall, lat[len(lat) // 2],
                      lat[int(0.95 * len(lat))]))

@@ -312,6 +312,14 @@ class TTSServer:
         for b in buckets:
             for t in texts:
                 self._synth_group([t] * b, voice_name, vocoder, b)
+        # Streaming compiles its own programs (encode/segment/postnet +
+        # per-chunk vocoder shapes — serving.py:synthesize_stream); drain
+        # one stream per text bucket so the first /synthesize_stream
+        # client doesn't pay those compiles while holding _device_lock,
+        # stalling batched traffic behind it.
+        for t in texts:
+            for _ in self.stream_chunks(t, voice_name, vocoder):
+                pass
 
     # ------------------------------------------------------ device call
     def _resolve_voice(self, voice_name):

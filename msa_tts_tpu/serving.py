@@ -459,11 +459,6 @@ def _postnet_ctx(cfg) -> int:
     return cfg.postnet_n_convolutions * (cfg.postnet_kernel_size // 2)
 
 
-class _AdaptiveTTSStreaming:
-    """Mixin-style extension; methods are attached to AdaptiveTTS
-    below (kept separate for readability)."""
-
-
 def synthesize_stream(
     self,
     text: str,
@@ -526,15 +521,13 @@ def synthesize_stream(
 
     if not hasattr(self, "_stream_jits"):
         self._stream_jits = {}
-    key = ("seg", segment_steps)
-    if key not in self._stream_jits:
+    # The encoder/postnet jits are segment-length-independent; only the
+    # segment function closes over segment_steps.  Keying them apart
+    # avoids re-tracing identical encoder/postnet programs per distinct
+    # segment_steps value.
+    if "encpost" not in self._stream_jits:
         def enc_fn(p, s, i, il, sv, k):
             return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
-
-        def seg_fn(p, enc, il, k, st):
-            return decoder_infer_segment(
-                p["decoder"], dcfg, enc, il, k, st, segment_steps
-            )
 
         def post_fn(p, s, x):
             res, _ = postnet_apply(
@@ -543,10 +536,17 @@ def synthesize_stream(
             )
             return x + res
 
-        self._stream_jits[key] = (
-            jax.jit(enc_fn), jax.jit(seg_fn), jax.jit(post_fn),
-        )
-    enc_jit, seg_jit, post_jit = self._stream_jits[key]
+        self._stream_jits["encpost"] = (jax.jit(enc_fn), jax.jit(post_fn))
+    enc_jit, post_jit = self._stream_jits["encpost"]
+    key = ("seg", segment_steps)
+    if key not in self._stream_jits:
+        def seg_fn(p, enc, il, k, st):
+            return decoder_infer_segment(
+                p["decoder"], dcfg, enc, il, k, st, segment_steps
+            )
+
+        self._stream_jits[key] = jax.jit(seg_fn)
+    seg_jit = self._stream_jits[key]
 
     enc_cond, _ = enc_jit(
         params, state, inputs, in_len, jnp.asarray(emb[None]),
@@ -569,6 +569,14 @@ def synthesize_stream(
                 if mel is not None and mel.shape[-1]:
                     yield mel
     else:
+        if vocoder == "griffinlim" and vocode_ctx_frames < 1:
+            # the jitted Griffin-Lim returns (W-1)·hop samples for a
+            # W-frame window (centered-istft tail trim, _vocode above);
+            # with zero context every non-final chunk would silently
+            # come up one hop short
+            raise ValueError(
+                "vocoder='griffinlim' needs vocode_ctx_frames >= 1"
+            )
         voc = _StreamingVocoder(
             lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
             hop, chunk_frames, vocode_ctx_frames,
@@ -590,30 +598,39 @@ def synthesize_stream(
         cap_frames = cfg.max_decoder_steps * r
         if produced + raw.shape[-1] > cap_frames:
             raw = raw[:, : max(0, cap_frames - produced)]
-        L = min(
-            max(int(np.asarray(st["mel_lengths"])[0]), 1) * r, cap_frames
-        )
+        ml = int(np.asarray(st["mel_lengths"])[0])
+        L = min(max(ml, 1) * r, cap_frames)
         if finished:
             # offline trims output to mel_lengths·r frames regardless of
             # early_stopping (synthesize above).  The postnet must see
             # the same raw context offline saw beyond L:
             #   early_stopping=True  — the while-loop exits once every
             #     gate fired, so the buffer holds mel_lengths+1 real
-            #     steps (the firing step still writes its frame) and
-            #     zeros beyond → feed exactly (L//r+1)·r frames;
+            #     steps (the firing step still writes its frame — for a
+            #     step-0 gate that's 1 real step at mel_lengths=0) and
+            #     literal zeros beyond; feed exactly those real frames,
+            #     then explicit zeros out to L+ctx so every emitted
+            #     frame's receptive field holds what offline's buffer
+            #     held (conv zero-PADDING is not the same as zero INPUT
+            #     frames past the first conv layer);
             #   early_stopping=False — offline decodes to the step cap,
             #     so frames past L are REAL context → keep decoding
             #     until every vocoded frame (< L) has its true postnet
             #     receptive field, then stop (decoding further changes
             #     nothing the client hears).
             if cfg.early_stopping:
-                need = (L // r + 1) * r
+                need = min(ml + 1, cfg.max_decoder_steps) * r
             else:
-                need = L + post.ctx
-            need = min(need, cap_frames)
+                need = min(L + post.ctx, cap_frames)
             final = at_cap or (produced + raw.shape[-1] >= need)
             if final:
                 raw = raw[:, : max(0, need - produced)]
+                n_zero = min(L + post.ctx, cap_frames) - need
+                if n_zero > 0:
+                    raw = np.concatenate(
+                        [raw, np.zeros((raw.shape[0], n_zero), raw.dtype)],
+                        axis=-1,
+                    )
         else:
             final = at_cap
         produced += raw.shape[-1]

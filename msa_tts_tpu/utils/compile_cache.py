@@ -38,6 +38,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     """
     global _enabled_dir
     if _enabled_dir is not None:
+        if path is not None and path != _enabled_dir:
+            logging.getLogger(__name__).warning(
+                "compilation cache already enabled at %s; ignoring "
+                "requested %s (jax_compilation_cache_dir is "
+                "process-global)", _enabled_dir, path
+            )
         return _enabled_dir
     path = path or default_cache_dir()
     try:

@@ -57,6 +57,8 @@ class Separator:
         self._word = str(word) if word else ""
 
     def __eq__(self, other):
+        if not isinstance(other, Separator):
+            return NotImplemented
         return (
             self.phone == other.phone
             and self.syllable == other.syllable

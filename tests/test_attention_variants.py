@@ -28,6 +28,7 @@ def _infer_with_attn(**attn_over):
     return cfg, mel, mel_len, align
 
 
+@pytest.mark.slow
 def test_windowing_inference_runs():
     cfg, mel, mel_len, align = _infer_with_attn(windowing=True)
     assert np.isfinite(np.asarray(mel)).all()
@@ -56,6 +57,7 @@ def test_no_location_attention():
     assert np.isfinite(np.asarray(mel)).all()
 
 
+@pytest.mark.slow
 def test_lsa_model_forward_and_infer():
     cfg = tiny_config()
     ap = {
@@ -84,6 +86,7 @@ def test_lsa_model_forward_and_infer():
     assert np.isfinite(np.asarray(mel)).all()
 
 
+@pytest.mark.slow
 def test_infer_r2():
     cfg = tiny_config(n_frames_per_step=2)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)

@@ -238,6 +238,7 @@ def test_grad_utils_mixing():
     np.testing.assert_allclose(np.asarray(s_w["w"]), [2.5, 3.5])
 
 
+@pytest.mark.slow
 def test_griffinlim_mel_pinv_no_tracer_leak():
     """Regression: _mel_fbank_pinv is lru_cached.  If it cached a jnp
     array created inside a jit trace, the second *distinct* trace (new

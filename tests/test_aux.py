@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_spk_cls_learns_separable_speakers(tmp_path):
     from msa_tts_tpu.utils.spk_cls import train_spk_cls
 
@@ -222,6 +223,7 @@ def test_prepare_comvoice_layout(tmp_path):
     assert {p[0] for p in lines} == {"c1", "c2"}
 
 
+@pytest.mark.slow
 def test_persistent_compilation_cache(tmp_path):
     """enable_compilation_cache points JAX's disk cache at our dir and a
     compiled program round-trips: first process writes an entry, second

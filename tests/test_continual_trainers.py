@@ -67,6 +67,7 @@ def _check_stream_outputs(trainer, n_speakers=3):
     return cumu
 
 
+@pytest.mark.slow
 def test_er_trainer(corpus):
     from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
 
@@ -77,6 +78,7 @@ def test_er_trainer(corpus):
     assert len(t.buffer) == 3 * 2
 
 
+@pytest.mark.slow
 def test_erkd_trainer(corpus):
     from msa_tts_tpu.trainers.continual_erkd import (
         ExperienceReplayKnowledgeDistillTrainer,
@@ -94,6 +96,7 @@ def test_erkd_trainer(corpus):
     assert not np.allclose(it.soft_mel, it.mel)
 
 
+@pytest.mark.slow
 def test_er_reg_trainer_weightdecay(corpus):
     from msa_tts_tpu.trainers.continual_er_reg import (
         ExperienceReplayRegTrainer,
@@ -112,6 +115,7 @@ def test_er_reg_trainer_weightdecay(corpus):
     assert t._spk_similarity != 1.0  # similarity actually computed
 
 
+@pytest.mark.slow
 def test_er_reg_buffer_replicate(corpus):
     from msa_tts_tpu.trainers.continual_er_reg import (
         ExperienceReplayRegTrainer,
@@ -130,6 +134,7 @@ def test_er_reg_buffer_replicate(corpus):
     assert len(t.buffer) == 3 * 2 * 2
 
 
+@pytest.mark.slow
 def test_ewc_trainer(corpus):
     from msa_tts_tpu.trainers.continual_ewc import EWCTrainer
 
@@ -145,6 +150,7 @@ def test_ewc_trainer(corpus):
     assert any(float(np.abs(np.asarray(l)).sum()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_cumulative_trainer(corpus):
     from msa_tts_tpu.trainers.cumulative import CumulativeTrainer
 
@@ -171,6 +177,7 @@ def test_similarity_math():
     assert sim == pytest.approx(1.0, rel=1e-6)  # c ∥ mean(a, b)
 
 
+@pytest.mark.slow
 def test_er_with_initial_finetune(corpus):
     """num_initial_speakers > 0: pre-train on the first speakers, then
     stream over ALL speakers with offset task indices (reference
@@ -198,6 +205,7 @@ def test_er_with_initial_finetune(corpus):
     assert len(t.buffer) == 2 * 4
 
 
+@pytest.mark.slow
 def test_er_stream_resume_bit_identical(corpus, tmp_path):
     """Kill an ER stream entering task 2, resume, and require the same
     cumutest matrix and final parameters as an uninterrupted run."""

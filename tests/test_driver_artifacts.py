@@ -16,6 +16,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -24,6 +25,7 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_driver_env():
     """Run dryrun_multichip exactly as the driver does: a FRESH interpreter
     with no conftest platform pinning, so the sitecustomize default backend
@@ -63,6 +65,7 @@ def test_graft_dryrun_multichip_driver_env():
     assert "dryrun_multichip joint OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_bench_run_jax_smoke(monkeypatch):
     """bench.run_jax must execute end to end (shrunk dims on CPU)."""
     import bench

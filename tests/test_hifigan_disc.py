@@ -1,5 +1,7 @@
 """HiFi-GAN discriminator shape/behavior tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,7 @@ def test_mpd_shapes_and_losses(rng):
     assert float(feature_loss(fr, fg)) == 0.0
 
 
+@pytest.mark.slow
 def test_msd_shapes(rng):
     params = init_msd(rng)
     y = jnp.asarray(

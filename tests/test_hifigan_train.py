@@ -1,5 +1,7 @@
 """HiFi-GAN adversarial trainer smoke test (tiny dims)."""
 
+import pytest
+
 import numpy as np
 
 from msa_tts_tpu.dataloaders.synthetic import (
@@ -8,6 +10,7 @@ from msa_tts_tpu.dataloaders.synthetic import (
 )
 
 
+@pytest.mark.slow
 def test_hifigan_trainer_runs(tmp_path):
     from msa_tts_tpu.trainers.hifigan_train import HiFiGANTrainer
 

@@ -71,6 +71,7 @@ def test_inference_end_to_end(experiment):
     assert mel.shape[0] == params["audio_params"]["n_mels"]
 
 
+@pytest.mark.slow
 def test_inference_landscape_plots(experiment):
     from msa_tts_tpu.infer import Inference
 
@@ -122,6 +123,7 @@ def test_inference_landscape_plots(experiment):
     assert glob.glob(os.path.join(out, "loss_linearinterp_*.png"))
 
 
+@pytest.mark.slow
 def test_infer_cumulative(experiment, tmp_path):
     """Run a 2-speaker ER stream then batch-synthesize the sentence list
     for every seen speaker from the per-task checkpoints."""

@@ -191,6 +191,7 @@ def _losses(trainer, tag="train/loss"):
     return [l["value"] for l in sorted(lines, key=lambda x: x["step"])]
 
 
+@pytest.mark.slow
 def test_maml_trainer_runs(corpus):
     from msa_tts_tpu.trainers.maml import MAML
 
@@ -201,6 +202,7 @@ def test_maml_trainer_runs(corpus):
     assert losses and np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_fomaml_trainer_runs(corpus):
     from msa_tts_tpu.trainers.maml import MAML
 
@@ -214,6 +216,7 @@ def test_fomaml_trainer_runs(corpus):
     assert losses and np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_reptile_trainer_runs(corpus):
     from msa_tts_tpu.trainers.reptile import Reptile
 
@@ -226,6 +229,7 @@ def test_reptile_trainer_runs(corpus):
     assert losses and np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_maml_resume_bit_identical(tmp_path):
     """MAML epoch-level preemption resume reproduces the uninterrupted
     run's final parameters exactly."""

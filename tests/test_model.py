@@ -220,6 +220,7 @@ def test_speaker_emb_modes():
         assert outs[0].shape == mels.shape
 
 
+@pytest.mark.slow
 def test_freeze_blocks_gradients():
     cfg = tiny_config(freeze_encoder=True, freeze_charemb=True)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)

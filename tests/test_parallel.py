@@ -190,6 +190,7 @@ def test_sharded_maml_2d_matches_single_device(dp, task, second_order):
     )
 
 
+@pytest.mark.slow
 def test_sharded_maml_2d_full_model_crash_shape(mesh):
     """Full Tacotron2 meta step at the exact shape that crashes the
     GSPMD conv partitioner (dp=2, task=4, K=8, S=2 → task-local shard
@@ -245,6 +246,7 @@ def test_sharded_maml_2d_full_model_crash_shape(mesh):
     assert metrics.task_losses.shape == (K,)
 
 
+@pytest.mark.slow
 def test_2d_gspmd_crash_documented():
     """Documents WHY shard_meta.py exists: a plain jitted (GSPMD) meta
     step with episodes device_put at P("task", "dp") and >1 task per

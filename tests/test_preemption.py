@@ -170,6 +170,7 @@ def test_joint_sigterm_preempt_then_resume_bit_identical(tmp_path):
 
 
 # -------------------------------------- trainer integration: continual
+@pytest.mark.slow
 def test_continual_midtask_preempt_then_resume_bit_identical(tmp_path):
     """Preemption arriving MID-task abandons the partial task; resume
     restarts that task and the finished stream matches an uninterrupted

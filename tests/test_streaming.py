@@ -109,6 +109,7 @@ def test_streamed_mel_matches_offline_with_early_stop():
     np.testing.assert_allclose(streamed, offline, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_streamed_stops_at_gate_without_early_stopping():
     """decoder_no_early_stopping=True with a firing gate: offline trims
     its output to mel_lengths·r even though the decoder runs to the step
@@ -162,6 +163,7 @@ def test_encode_mask_pad_invariance():
     np.testing.assert_allclose(enc(11), enc(32), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_text_pad_bucketing_keeps_length():
     """text_pad_multiple>1 (server shape bucketing) must not change how
     much audio the client receives.  gate_threshold=0.9 keeps the
@@ -207,6 +209,7 @@ def test_streamed_audio_griffinlim_chunks():
     assert abs(len(wav) - T * hop) <= 6 * hop
 
 
+@pytest.mark.slow
 def test_streamed_audio_hifigan_matches_offline_core():
     """HiFi-GAN streaming with generous context: interior samples match
     the offline (whole-mel) vocoding — the conv receptive field sits
@@ -243,3 +246,68 @@ def test_streamed_audio_hifigan_matches_offline_core():
         np.testing.assert_allclose(
             wav[lo:hi], offline[lo:hi], atol=1e-4
         )
+
+
+@pytest.mark.slow
+def test_streamed_mel_exact_when_gate_fires_at_step0():
+    """Gate fires at the very first decoder step (mel_lengths == 0,
+    early_stopping): offline's buffer holds ONE real step then zeros,
+    and trims to r frames.  The stream must feed the postnet exactly
+    that — one real step plus explicit zeros — not the decoder's real
+    step-1 continuation (regression: `need` was derived from the
+    1-clamped length, leaking a post-gate step into the postnet's right
+    context)."""
+    # untrained gate sigmoid ≈ 0.4-0.5 ≫ 0.1 → fires at step 0
+    tts = _make_tts(decoder_no_early_stopping=False, gate_threshold=0.1)
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    r = MODEL["n_frames_per_step"]
+    assert offline.shape[-1] == r  # gate really fired at step 0
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=5, chunk_frames=4,
+    ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    # one decoder step, no autoregressive noise amplification → the only
+    # fp slack is the postnet window shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_streamed_mel_zero_context_beyond_gate():
+    """early_stopping with ctx > r: emitted frames near L need literal
+    zero input frames beyond the (mel_lengths+1)·r real ones to match
+    offline (conv zero-padding differs from zero input frames past the
+    first postnet layer).  postnet ctx = 3·(5//2) = 6 > r = 2 here, so
+    the explicit-zero tail path is exercised whenever the gate fires
+    mid-stream."""
+    tts = _make_tts(decoder_no_early_stopping=False, gate_threshold=0.45)
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=3, chunk_frames=4,
+    ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=2e-2)
+    # the last ctx frames are where the zero-tail fix bites — they must
+    # agree to fp precision, not just loosely
+    np.testing.assert_allclose(
+        streamed[:, -6:], offline[:, -6:], atol=1e-4
+    )
+
+
+def test_stream_griffinlim_rejects_zero_context():
+    """vocode_ctx_frames=0 with Griffin-Lim would silently drop one hop
+    of audio per chunk (the jitted GL trims (W-1)·hop); it must be
+    rejected up front."""
+    tts = _make_tts()
+    with pytest.raises(ValueError, match="vocode_ctx_frames"):
+        list(tts.synthesize_stream(
+            "hello", vocoder="griffinlim", spk_emb=EMB,
+            vocode_ctx_frames=0,
+        ))

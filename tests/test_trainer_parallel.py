@@ -27,6 +27,7 @@ def _leaves_close(a, b, atol):
         )
 
 
+@pytest.mark.slow
 def test_joint_trainer_parallel_config_matches_single(tmp_path):
     """Joint training with ``parallel: {dp: 2, task: 4}`` (batch sharded
     over all 8 devices; the ragged tail batch takes the replicated
@@ -70,6 +71,7 @@ def test_joint_trainer_parallel_config_matches_single(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_maml_trainer_parallel_config_matches_single(tmp_path):
     """MAML with episodes task-sharded over a (1, 2) mesh vs plain
     single-device — the vmapped task axis splits across devices and the
@@ -112,6 +114,7 @@ def test_maml_trainer_parallel_config_matches_single(tmp_path):
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 4)])
+@pytest.mark.slow
 def test_continual_er_parallel_matches_single(tmp_path, mesh_shape):
     """The continual ER stream under a mesh must reproduce the
     single-device stream NUMERICALLY: same final params and the same
@@ -171,6 +174,7 @@ def test_continual_er_parallel_matches_single(tmp_path, mesh_shape):
     )
 
 
+@pytest.mark.slow
 def test_parallel_trainer_resume_on_different_mesh(tmp_path):
     """Elastic recovery end-to-end: preempt a (2,4)-mesh joint run after
     epoch 1, resume it on a (4,2) mesh, and match the uninterrupted
@@ -236,6 +240,7 @@ def _vocoder_corpus(tmp_path, n_utts=4):
     return root
 
 
+@pytest.mark.slow
 def test_wavernn_trainer_parallel_matches_single(tmp_path):
     """dp-sharded WaveRNN training (batch over 8 devices) reproduces the
     single-device run: identical batch schedule (same np seed), GSPMD
@@ -273,6 +278,7 @@ def test_wavernn_trainer_parallel_matches_single(tmp_path):
     _leaves_close(t_par.model_params, t_single.model_params, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_hifigan_trainer_parallel_matches_single(tmp_path):
     """dp-sharded HiFi-GAN adversarial training (gen+disc batches over
     4 devices) reproduces the single-device run."""

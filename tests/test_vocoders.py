@@ -167,6 +167,7 @@ def test_mol_loss_prefers_correct_mean():
     assert lg < lb
 
 
+@pytest.mark.slow
 def test_mol_loss_gradient_recovers_mean():
     """Minimizing the MoL NLL by gradient descent on the mean heads must
     converge to the data value (functional correctness of the loss)."""
