@@ -18,18 +18,22 @@ import jax
 
 
 def prefetch_to_device(iterable: Iterable, size: int = 2,
-                       device=None) -> Iterator:
+                       device=None, put=None) -> Iterator:
     """Yield items from ``iterable`` with ``size`` items pre-uploaded.
 
     Items may be arbitrary pytrees of numpy arrays (Batch NamedTuples,
     dicts, ...).  With ``size=1`` this degrades to plain device_put.
+    ``put`` overrides the placement function (e.g. a sharding-aware
+    device_put, or identity when the iterable already places its items
+    and only the pull-ahead is wanted).
     """
     queue = collections.deque()
-    put = (
-        (lambda x: jax.device_put(x, device))
-        if device is not None
-        else jax.device_put
-    )
+    if put is None:
+        put = (
+            (lambda x: jax.device_put(x, device))
+            if device is not None
+            else jax.device_put
+        )
     it = iter(iterable)
     try:
         for _ in range(size):

@@ -292,9 +292,11 @@ class TrainerBase:
 
     def _put_task_batch(self, batch: dict) -> dict:
         """Place stacked (K, S, ...) episodes with the task-parallel
-        layout (same divisibility fallback on K)."""
+        layout (same divisibility fallback on K).  Single-device runs
+        device_put explicitly too so a prefetching caller's upload is
+        dispatched ahead of the step instead of inside it."""
         if self.mesh is None:
-            return batch
+            return jax.device_put(batch)
         K = int(next(iter(batch.values())).shape[0])
         sh = (
             self._task_sharding

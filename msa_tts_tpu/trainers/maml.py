@@ -15,7 +15,6 @@ import os
 import jax
 
 from ..meta.maml import make_maml_step
-from .baseline import unpack_task_batch
 from .metatrainer import MetaTrainer
 
 
@@ -74,17 +73,11 @@ class MAML(MetaTrainer):
 
     def _metatrain(self, epoch: int, rng) -> bool:
         """Returns False when preempted before the epoch completed."""
-        for itr_b, (speakers, support, query) in enumerate(
-            self.dataloader_metatrain.iter_stacked()
+        for itr_b, (speakers, sup, qry) in enumerate(
+            self._iter_episodes_prefetched(self.dataloader_metatrain)
         ):
             if self._preempt_requested():
                 return False
-            sup = self._put_task_batch(
-                unpack_task_batch(support, self.speaker_emb_type)
-            )
-            qry = self._put_task_batch(
-                unpack_task_batch(query, self.speaker_emb_type)
-            )
             self.train_state, metrics = self._maml_step_jit(
                 self.train_state, sup, qry, jax.random.fold_in(rng, itr_b)
             )

@@ -70,6 +70,34 @@ class MetaTrainer(TrainerBase):
             jax.vmap(metatest, in_axes=(None, None, 0, 0, 0))
         )
 
+    # ------------------------------------------------------- episodes
+    def _iter_episodes_prefetched(self, loader):
+        """Yield ``(speakers, sup, qry)`` with episodes unpacked and
+        device-placed ``prefetch`` meta-batches ahead — the meta flavor
+        of the joint trainer's input pipeline (baseline.py).  The train
+        loops pull per-step metrics to the host, which blocks until the
+        step finishes; without pull-ahead the next episode's unpack +
+        upload would run while the device sits idle (~7% of a headline
+        step — BENCHMARKS.md footnote on host re-upload)."""
+        from .baseline import unpack_task_batch
+        from ..dataloaders.prefetch import prefetch_to_device
+
+        def gen():
+            for speakers, support, query in loader.iter_stacked():
+                sup = self._put_task_batch(
+                    unpack_task_batch(support, self.speaker_emb_type)
+                )
+                qry = self._put_task_batch(
+                    unpack_task_batch(query, self.speaker_emb_type)
+                )
+                yield speakers, sup, qry
+
+        n = int(self.params.get("prefetch", 2))
+        if n <= 0:
+            return gen()
+        # placement already happened in gen(); prefetch only pulls ahead
+        return prefetch_to_device(gen(), size=n, put=lambda x: x)
+
     # -------------------------------------------------------- metatest
     def _metatest(self, epoch: int, rng):
         from .baseline import unpack_task_batch

@@ -38,11 +38,13 @@ def test_windowing_inference_runs():
     np.testing.assert_allclose(a[0, :n].sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_attn_mask_inference_runs():
     cfg, mel, mel_len, align = _infer_with_attn(forward_attn_mask=True)
     assert np.isfinite(np.asarray(mel)).all()
 
 
+@pytest.mark.slow
 def test_sigmoid_norm_attention():
     cfg, mel, mel_len, align = _infer_with_attn(
         norm="sigmoid", forward_attn=False, trans_agent=False

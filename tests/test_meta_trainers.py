@@ -287,6 +287,7 @@ def test_maml_resume_bit_identical(tmp_path):
     assert t_res.step_global == t_full.step_global
 
 
+@pytest.mark.slow
 def test_maml_step_advances_batchnorm_state(tmp_path):
     """The outer step must carry (task-averaged) batch-norm running
     stats — a meta-trained checkpoint consumed with train=False

@@ -253,6 +253,7 @@ def test_reduction_factor_2():
     assert align.shape == (2, 8, inputs.shape[1])
 
 
+@pytest.mark.slow
 def test_scan_remat_gradient_parity():
     """scan_remat changes WHERE activations come from on the backward
     pass (recompute vs storage), never the math: loss and gradients

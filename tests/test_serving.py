@@ -12,6 +12,7 @@ from msa_tts_tpu.dataloaders.synthetic import (
 )
 
 
+@pytest.mark.slow
 def test_adaptive_tts_end_to_end(tmp_path):
     from msa_tts_tpu.trainers.baseline import JointTrainer
     from msa_tts_tpu.serving import AdaptiveTTS

@@ -109,6 +109,7 @@ def test_params_snapshot_written(trained):
     )
 
 
+@pytest.mark.slow
 def test_joint_resume_bit_identical(tmp_path):
     """Kill joint training entering epoch 3 of 4, resume, and require the
     final parameters to match an uninterrupted 4-epoch run exactly."""
