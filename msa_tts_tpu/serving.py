@@ -92,16 +92,48 @@ class AdaptiveTTS:
                 remat=False,
             )
         )
+        # infer_dtype: bfloat16 — opt-in half-width weights/compute for
+        # the autoregressive decode.  The AR scan is HBM-bound streaming
+        # the decoder weights every step (BENCHMARKS.md MFU analysis),
+        # so bf16 halves the per-step traffic; outputs return as fp32.
+        # Same cast the trainers' compute_dtype uses (trainers/base.py).
+        idt = params.get("infer_dtype")
+        self._infer_dtype = (
+            jnp.bfloat16 if idt in ("bfloat16", "bf16") else None
+        )
+
         # mask_pad: serving pads/buckets text lengths for shape reuse —
         # masking the encoder convs makes each row's output independent
         # of that padding, so batched == single == streamed synthesis
-        self._infer_jit = jax.jit(
-            lambda p, s, i, il, sv, rng: tacotron2nv_infer(
+        def _infer(p, s, i, il, sv, rng):
+            p, s, sv = self._cast_infer(p, s, sv)
+            mel, mel_len, align = tacotron2nv_infer(
                 p, s, self.cfg, i, il, sv, rng, mask_pad=True
             )
-        )
+            return (
+                mel.astype(jnp.float32), mel_len,
+                align.astype(jnp.float32),
+            )
+
+        self._infer_jit = jax.jit(_infer)
         # Optional neural vocoders (attach_vocoder); Griffin-Lim needs none.
         self._vocoders: dict = {}
+
+    def _cast_infer(self, p, s, sv):
+        """Cast fp32 params/state/speaker-vec to the inference compute
+        dtype (identity when ``infer_dtype`` is unset)."""
+        if self._infer_dtype is None:
+            return p, s, sv
+
+        def cast(t):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(self._infer_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                t,
+            )
+
+        return cast(p), cast(s), sv.astype(self._infer_dtype)
 
     # ------------------------------------------------------------- load
     @classmethod
@@ -526,23 +558,40 @@ def synthesize_stream(
     # avoids re-tracing identical encoder/postnet programs per distinct
     # segment_steps value.
     if "encpost" not in self._stream_jits:
+        # infer_dtype casts mirror the offline _infer jit so streamed
+        # mel stays the exact offline mel: the encoder/decoder run in
+        # the compute dtype end-to-end (enc_cond and the carried stream
+        # state stay bf16 between segments), the postnet re-casts its
+        # host-fp32 input (fp32 holds bf16 exactly, so the round-trip
+        # is lossless), and everything returns fp32 to the host.
         def enc_fn(p, s, i, il, sv, k):
+            p, s, sv = self._cast_infer(p, s, sv)
             return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
 
         def post_fn(p, s, x):
+            p, s, _ = self._cast_infer(p, s, jnp.zeros((), jnp.float32))
+            if self._infer_dtype is not None:
+                x = x.astype(self._infer_dtype)
             res, _ = postnet_apply(
                 p["postnet"], s["postnet"], x, rng=None, train=False,
                 kernel_size=cfg.postnet_kernel_size,
             )
-            return x + res
+            return (x + res).astype(jnp.float32)
 
         self._stream_jits["encpost"] = (jax.jit(enc_fn), jax.jit(post_fn))
     enc_jit, post_jit = self._stream_jits["encpost"]
     key = ("seg", segment_steps)
     if key not in self._stream_jits:
         def seg_fn(p, enc, il, k, st):
-            return decoder_infer_segment(
+            p, _, _ = self._cast_infer(
+                p, {}, jnp.zeros((), jnp.float32)
+            )
+            st2, mels, gates, align = decoder_infer_segment(
                 p["decoder"], dcfg, enc, il, k, st, segment_steps
+            )
+            return (
+                st2, mels.astype(jnp.float32),
+                gates.astype(jnp.float32), align,
             )
 
         self._stream_jits[key] = jax.jit(seg_fn)

@@ -311,3 +311,52 @@ def test_stream_griffinlim_rejects_zero_context():
             "hello", vocoder="griffinlim", spk_emb=EMB,
             vocode_ctx_frames=0,
         ))
+
+
+def test_bf16_infer_dtype_close_to_fp32():
+    """infer_dtype: bfloat16 (serving opt-in — halves the HBM traffic of
+    the weight-streaming AR decode) must produce fp32 outputs close to
+    the fp32 path on the same weights."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+
+    mp = dict(MODEL)
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    base = {"model": mp, "audio_params": dict(AP)}
+    tts32 = AdaptiveTTS(dict(base), p0, s0)
+    tts16 = AdaptiveTTS(dict(base, infer_dtype="bfloat16"), p0, s0)
+    m32 = np.asarray(tts32.synthesize("hello", vocoder="none", spk_emb=EMB))
+    m16 = np.asarray(tts16.synthesize("hello", vocoder="none", spk_emb=EMB))
+    assert m16.dtype == np.float32
+    assert m16.shape == m32.shape  # same gate decisions at this config
+    # bf16 has ~3 significant decimal digits; drift compounds through the
+    # autoregressive feedback but must stay small at these magnitudes
+    np.testing.assert_allclose(m16, m32, atol=0.15)
+    assert not np.allclose(m16, m32)  # actually computed in bf16
+
+
+@pytest.mark.slow
+def test_bf16_streamed_matches_bf16_offline():
+    """The streamed mel must remain (near-)exact vs offline under
+    infer_dtype=bfloat16 — both paths cast identically, and the
+    host fp32 round-trip of bf16 mels is lossless."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+
+    mp = dict(MODEL)
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    tts = AdaptiveTTS(
+        {"model": mp, "audio_params": dict(AP),
+         "infer_dtype": "bfloat16"}, p0, s0,
+    )
+    offline = np.asarray(
+        tts.synthesize("hello world", vocoder="none", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hello world", vocoder="none", spk_emb=EMB,
+        segment_steps=7, chunk_frames=10,
+    ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    # separately-compiled programs + bf16 → slightly looser than fp32
+    np.testing.assert_allclose(streamed, offline, atol=6e-2)
