@@ -82,13 +82,31 @@ def init_postnet(rng, n_mel_channels: int, embedding_dim: int,
 
 
 def postnet_apply(params, state, x, *, rng=None, train: bool = True,
-                  kernel_size: int = 5, dropout_rate: float = 0.5):
-    """Postnet on (B, n_mel, T): conv→BN→tanh (except last) → dropout."""
+                  kernel_size: int = 5, dropout_rate: float = 0.5,
+                  width=None):
+    """Postnet on (B, n_mel, T): conv→BN→tanh (except last) → dropout.
+
+    ``width`` (traced scalar) makes the stack behave as if the input
+    were only ``width`` frames wide inside a fixed-``T`` buffer: zeroing
+    columns ≥ width before EVERY conv reproduces the conv zero-padding a
+    ``width``-frame input would see at its right edge (columns past
+    width turn non-zero after BN, so one up-front mask is not enough).
+    Columns < width of the result are then bit-identical to running the
+    stack on ``x[..., :width]``; callers slice those and discard the
+    rest.  Serving streams use this to run every postnet window — the
+    data-dependent final window included — through one compiled shape.
+    """
     n = len(params["convolutions"])
     new_state = []
     rngs = jax.random.split(rng, n) if rng is not None else [None] * n
     pad = (kernel_size - 1) // 2
+    valid = (
+        None if width is None
+        else jnp.arange(x.shape[-1]) < width
+    )
     for i, layer in enumerate(params["convolutions"]):
+        if valid is not None:
+            x = jnp.where(valid, x, 0.0)
         x = N.conv1d(layer["conv"], x, padding=pad)
         x, bn_s = N.batchnorm1d(
             layer["bn"], state["convolutions"][i], x, train=train

@@ -322,6 +322,13 @@ class TTSServer:
                 pass
 
     # ------------------------------------------------------ device call
+    def servable_vocoders(self) -> set:
+        """Vocoders this server can return as audio: Griffin-Lim always,
+        plus whatever was attached.  The library-level ``"none"`` (raw
+        mel) is deliberately excluded — flattened mel bytes under an
+        audio/wav content type would be well-formed garbage."""
+        return {"griffinlim"} | set(self.tts._vocoders.keys())
+
     def _resolve_voice(self, voice_name):
         """Voice-name → (Voice | None, default spk_emb | None); raises
         on an unknown name or when neither a voice nor a default exists."""
@@ -379,9 +386,11 @@ class TTSServer:
 
         sr = int(self.tts.params["audio_params"]["sample_rate"])
         wav = np.asarray(wav, dtype=np.float32)
-        peak = float(np.max(np.abs(wav))) if wav.size else 0.0
-        if peak > 1.0:
-            wav = wav / peak
+        # Hard-clip out-of-range samples — the same limiter the
+        # streaming endpoint applies (which cannot peak-normalize: the
+        # peak isn't known until the last chunk), so one utterance
+        # sounds identical from either endpoint.
+        wav = np.clip(wav, -1.0, 1.0)
         buf = io.BytesIO()
         wavfile.write(buf, sr, (wav * 32767.0).astype(np.int16))
         return buf.getvalue()
@@ -471,6 +480,14 @@ def _make_handler(server: TTSServer):
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
+        def _check_vocoder(self, name) -> None:
+            ok = server.servable_vocoders()
+            if name not in ok:
+                raise ValueError(
+                    f"vocoder {name!r} is not servable here; "
+                    f"available: {sorted(ok)}"
+                )
+
         def _send_json(self, code: int, obj: dict) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -516,6 +533,7 @@ def _make_handler(server: TTSServer):
                 text = req["text"]
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
+                self._check_vocoder(req.get("vocoder", "griffinlim"))
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
@@ -542,12 +560,14 @@ def _make_handler(server: TTSServer):
             decode segment + one vocode chunk, not the whole utterance."""
             import struct
 
+            t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
+                self._check_vocoder(req.get("vocoder", "griffinlim"))
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
@@ -560,6 +580,9 @@ def _make_handler(server: TTSServer):
                 )
                 first = next(gen, None)
             except Exception as e:  # noqa: BLE001 — client-facing
+                server.stats.record_request(
+                    time.monotonic() - t0, error=True
+                )
                 self._send_json(500, {"error": str(e)})
                 return
             self.send_response(200)
@@ -598,9 +621,18 @@ def _make_handler(server: TTSServer):
                 # utterance from a complete response.
                 print(f"[server] stream aborted: {e!r}", flush=True)
                 self.close_connection = True
+                server.stats.record_request(
+                    time.monotonic() - t0, error=True
+                )
             else:
                 self.wfile.write(b"0\r\n\r\n")
                 self.wfile.flush()
+                # latency here is the full stream duration; /stats also
+                # carries these in requests_total so streaming-heavy
+                # deployments don't read as idle
+                server.stats.record_request(
+                    time.monotonic() - t0, error=False
+                )
 
     return Handler
 

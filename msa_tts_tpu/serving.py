@@ -409,9 +409,16 @@ class _StreamingPostnet:
     streaming runs one compiled XLA program.
     """
 
-    def __init__(self, apply_fn, ctx: int):
-        self.apply = apply_fn           # (B, n_mel, W) -> (B, n_mel, W)
+    def __init__(self, apply_fn, ctx: int, pad_to: int = 0):
+        # apply_fn: (B, n_mel, W), true_width -> (B, n_mel, W); columns
+        # >= true_width of the input are quantization padding the
+        # postnet masks out (postnet_apply(width=...)), so every window
+        # — the data-dependent final one included — runs through one
+        # compiled program of width pad_to instead of compiling per
+        # residue at request time.
+        self.apply = apply_fn
         self.ctx = int(ctx)
+        self.pad_to = int(pad_to)
         self.left: np.ndarray | None = None   # (n_mel, <=ctx) raw
         self.pending: np.ndarray | None = None
 
@@ -433,7 +440,10 @@ class _StreamingPostnet:
             return np.zeros((raw.shape[0], 0), raw.dtype)
         n_left = 0 if self.left is None else self.left.shape[-1]
         window = self._cat(self.left, self.pending)
-        out = np.asarray(self.apply(window[None])[0])
+        w = window.shape[-1]
+        if self.pad_to > w:
+            window = np.pad(window, ((0, 0), (0, self.pad_to - w)))
+        out = np.asarray(self.apply(window[None], w)[0])
         emitted = out[:, n_left : n_left + m]
         keep = self._cat(self.left, self.pending[:, :m])
         self.left = keep[:, -self.ctx :]
@@ -450,9 +460,16 @@ class _StreamingVocoder:
     so each chunk restarts its GRU state/sampling noise — an
     independent generation of that span, not the offline samples."""
 
-    def __init__(self, vocode_fn, hop: int, chunk: int, ctx: int):
+    def __init__(self, vocode_fn, hop: int, chunk: int, ctx: int,
+                 tail_frames: int = 0):
         self.vocode = vocode_fn       # (n_mel, W) -> wav np.ndarray
         self.hop, self.chunk, self.ctx = int(hop), int(chunk), int(ctx)
+        # frames the vocoder comes up short per window (the jitted
+        # Griffin-Lim returns (W-1)·hop samples for W frames — centered
+        # istft tail trim).  An unpadded final window self-truncates;
+        # a quantization-padded one must trim explicitly to keep the
+        # streamed total identical to the offline wav length.
+        self.tail_frames = int(tail_frames)
         self.buf: np.ndarray | None = None   # all emitted mel frames
         self.done = 0                        # frames already vocoded
 
@@ -466,6 +483,14 @@ class _StreamingVocoder:
         if self.buf is None:
             return
         T = self.buf.shape[-1]
+        # Every window is vocoded at ONE fixed width ``chunk + 2·ctx``:
+        # the window is grown toward whatever real frames exist (extra
+        # true context never hurts), and only an utterance shorter than
+        # the window pads — with its own silence floor, the same
+        # convention as the batched path (utils/batching.pad_mel_batch).
+        # Data-dependent final-residue widths would otherwise compile a
+        # fresh vocoder program at request time for every new length.
+        W = self.chunk + 2 * self.ctx
         while True:
             e = self.done + self.chunk
             if e + self.ctx > T:       # need future context (or final)
@@ -473,10 +498,18 @@ class _StreamingVocoder:
                     break
                 e = T
             s = self.done
-            a = max(0, s - self.ctx)
-            b = min(T, e + self.ctx)
-            wav = np.asarray(self.vocode(self.buf[:, a:b]),
-                             dtype=np.float32)
+            a = max(0, min(s - self.ctx, T - W))
+            b = min(T, a + W)
+            win = self.buf[:, a:b]
+            padded = b - a < W         # whole utterance shorter than W
+            if padded:
+                win = np.pad(
+                    win, ((0, 0), (0, W - (b - a))),
+                    constant_values=float(win.min()),
+                )
+            wav = np.asarray(self.vocode(win), dtype=np.float32)
+            if padded:
+                wav = wav[: (b - a - self.tail_frames) * self.hop]
             o = (s - a) * self.hop
             n = (e - s) * self.hop
             chunk = wav[o : o + n]
@@ -568,13 +601,13 @@ def synthesize_stream(
             p, s, sv = self._cast_infer(p, s, sv)
             return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
 
-        def post_fn(p, s, x):
+        def post_fn(p, s, x, width):
             p, s, _ = self._cast_infer(p, s, jnp.zeros((), jnp.float32))
             if self._infer_dtype is not None:
                 x = x.astype(self._infer_dtype)
             res, _ = postnet_apply(
                 p["postnet"], s["postnet"], x, rng=None, train=False,
-                kernel_size=cfg.postnet_kernel_size,
+                kernel_size=cfg.postnet_kernel_size, width=width,
             )
             return (x + res).astype(jnp.float32)
 
@@ -607,9 +640,18 @@ def synthesize_stream(
     hop = self.params["audio_params"].get(
         "hop_length", self.params["audio_params"].get("hop_size")
     )
+    # One compiled postnet program per segment_steps: windows are padded
+    # to the widest a segment stream can produce (left ctx + held-back
+    # ctx + a segment's raw frames + final-push zeros ≤ 3·ctx) and the
+    # true width is masked inside the jit (postnet_apply(width=...)), so
+    # the data-dependent final residue never compiles at request time.
+    pctx = _postnet_ctx(cfg)
     post = _StreamingPostnet(
-        lambda w: post_jit(params, state, jnp.asarray(w)),
-        _postnet_ctx(cfg),
+        lambda w, n: post_jit(
+            params, state, jnp.asarray(w), jnp.asarray(n, jnp.int32)
+        ),
+        pctx,
+        pad_to=segment_steps * r + 3 * pctx,
     )
     if vocoder == "none":      # stream exact mel chunks directly
         class voc:  # noqa: N801 - tiny inline namespace
@@ -629,16 +671,24 @@ def synthesize_stream(
         voc = _StreamingVocoder(
             lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
             hop, chunk_frames, vocode_ctx_frames,
+            tail_frames=1 if vocoder == "griffinlim" else 0,
         )
 
     produced = 0       # raw frames fed to the postnet
     emitted = 0        # exact frames forwarded to the vocoder
     while True:
         st, mels, gates, _ = seg_jit(params, enc_cond, in_len, k_dec, st)
-        n_steps = int(st["step"])
-        finished = int(np.asarray(st["not_finished"]).sum()) == 0
+        # ONE coalesced device→host fetch per segment: on a high-latency
+        # device link (the reason _vocode is jitted — see above) separate
+        # int()/np.asarray() pulls would each pay a full round trip,
+        # adding 3-4 RTTs to every chunk's cadence and to TTFA.
+        n_steps, nf, ml_host, raw = jax.device_get(
+            (st["step"], st["not_finished"], st["mel_lengths"], mels[0])
+        )
+        n_steps = int(n_steps)
+        finished = int(nf.sum()) == 0
         at_cap = n_steps >= cfg.max_decoder_steps
-        raw = np.asarray(mels[0])                    # (n_mel, seg·r)
+        raw = np.asarray(raw)                        # (n_mel, seg·r)
         # The segment scan decodes in fixed ``segment_steps`` strides, so
         # it can overshoot max_decoder_steps by up to seg−1 steps the
         # offline while-loop never runs — drop those frames and their
@@ -647,7 +697,7 @@ def synthesize_stream(
         cap_frames = cfg.max_decoder_steps * r
         if produced + raw.shape[-1] > cap_frames:
             raw = raw[:, : max(0, cap_frames - produced)]
-        ml = int(np.asarray(st["mel_lengths"])[0])
+        ml = int(ml_host[0])
         L = min(max(ml, 1) * r, cap_frames)
         if finished:
             # offline trims output to mel_lengths·r frames regardless of

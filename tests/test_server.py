@@ -393,3 +393,84 @@ def test_http_streaming_endpoint(tts):
         assert t_first <= t_total
     finally:
         server.stop()
+
+
+def test_unservable_vocoder_rejected_with_400(tts):
+    """'none' (raw mel) and unattached neural vocoders must 400 on both
+    endpoints — flattened mel bytes under audio/wav would be well-formed
+    garbage; before this check they streamed with a 200."""
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=1.0,
+    )
+    port = server.start()
+    try:
+        for path in ("/synthesize", "/synthesize_stream"):
+            for voc in ("none", "wavernn", "nonsense"):
+                rq = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(
+                        {"text": "hi", "vocoder": voc}
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(rq, timeout=30)
+                assert ei.value.code == 400, (path, voc)
+        assert server.servable_vocoders() == {"griffinlim"}
+    finally:
+        server.stop()
+
+
+def test_streaming_requests_counted_in_stats(tts):
+    """/synthesize_stream traffic must show up on /stats — a
+    streaming-heavy deployment previously read as requests_total=0."""
+    import http.client
+
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=1.0,
+    )
+    port = server.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request(
+            "POST", "/synthesize_stream", json.dumps({"text": "hi"}),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        snap = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert snap["requests_total"] == 1
+        assert snap["errors_total"] == 0
+
+        # unknown voice mid-setup → 500, recorded as an error
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn2.request(
+            "POST", "/synthesize_stream",
+            json.dumps({"text": "hi", "voice": "ghost"}),
+            {"Content-Type": "application/json"},
+        )
+        assert conn2.getresponse().status == 500
+        snap = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert snap["requests_total"] == 2
+        assert snap["errors_total"] == 1
+    finally:
+        server.stop()
+
+
+def test_encode_wav_clips_like_streaming(tts):
+    """Both endpoints apply the same limiter to out-of-range audio:
+    hard clip (streaming cannot peak-normalize — the peak isn't known
+    until the last chunk), so one utterance sounds identical from
+    either endpoint."""
+    server = TTSServer(tts, default_spk_emb=np.zeros(SPK_DIM, np.float32))
+    loud = np.array([0.5, 1.5, -2.0, 0.0], np.float32)
+    body = server.encode_wav(loud)
+    pcm = np.frombuffer(body[-8:], "<i2").astype(np.float32) / 32767.0
+    np.testing.assert_allclose(
+        pcm, np.clip(loud, -1.0, 1.0), atol=1e-4
+    )

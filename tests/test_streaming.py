@@ -360,3 +360,78 @@ def test_bf16_streamed_matches_bf16_offline():
     assert streamed.shape == offline.shape
     # separately-compiled programs + bf16 → slightly looser than fp32
     np.testing.assert_allclose(streamed, offline, atol=6e-2)
+
+
+# ----------------------------------------------- bounded stream programs
+def test_postnet_width_mask_exact():
+    """postnet_apply(width=w) on a zero-padded fixed-width buffer must
+    reproduce postnet_apply on the true w-frame input bit-for-bit in
+    columns < w — the property that lets streaming run every window
+    (data-dependent final residue included) through ONE compiled shape."""
+    from msa_tts_tpu.models.decoder import init_postnet, postnet_apply
+
+    jnp = jax.numpy
+    p, s = init_postnet(jax.random.PRNGKey(0), 20, 16, 5, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 48))
+    for w in (48, 37, 12, 5):
+        ref, _ = postnet_apply(
+            p, s, x[..., :w], rng=None, train=False, kernel_size=5
+        )
+        buf = jnp.pad(x[..., :w], ((0, 0), (0, 0), (0, 48 - w)))
+        out, _ = postnet_apply(
+            p, s, buf, rng=None, train=False, kernel_size=5,
+            width=jnp.asarray(w),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[..., :w]), np.asarray(ref)
+        )
+
+
+def test_stream_window_shapes_are_fixed():
+    """Every postnet window and every vocode window across utterances of
+    different lengths must arrive at ONE shape each: a production stream
+    must never hit a request-time XLA compile for a fresh final-residue
+    width (those take seconds on TPU while holding the server's device
+    lock)."""
+    from msa_tts_tpu.serving import _StreamingPostnet, _StreamingVocoder
+
+    post_shapes, voc_shapes = set(), set()
+
+    def post_apply(w, n):
+        post_shapes.add(w.shape)
+        return np.asarray(w)
+
+    def vocode(m):
+        voc_shapes.add(m.shape)
+        return np.zeros(m.shape[-1] * 4, np.float32)
+
+    rng = np.random.RandomState(0)
+    for total in (64, 41, 97, 128, 33):   # ≥ chunk+2ctx = 20
+        post = _StreamingPostnet(post_apply, ctx=6, pad_to=16 + 3 * 6)
+        voc = _StreamingVocoder(vocode, hop=4, chunk=12, ctx=4)
+        fed = 0
+        while fed < total:
+            n = min(16, total - fed)
+            fed += n
+            raw = rng.randn(20, n).astype(np.float32)
+            exact = post.push(raw, final=(fed == total))
+            list(voc.push(exact, final=(fed == total)))
+    assert len(post_shapes) == 1, post_shapes
+    assert len(voc_shapes) == 1, voc_shapes
+
+
+def test_streamed_gl_length_parity_short_utterance():
+    """A whole utterance shorter than one vocode window exercises the
+    quantization-padded final window: the streamed Griffin-Lim wav must
+    still total exactly the offline wav's length (hop·(T−1))."""
+    tts = _make_tts()
+    wav_off = np.asarray(
+        tts.synthesize("hi", vocoder="griffinlim", spk_emb=EMB)
+    )
+    chunks = list(tts.synthesize_stream(
+        "hi", vocoder="griffinlim", spk_emb=EMB,
+        segment_steps=8, chunk_frames=64, vocode_ctx_frames=8,
+    ))
+    wav = np.concatenate(chunks)
+    assert wav.shape == wav_off.shape
+    assert np.isfinite(wav).all()
