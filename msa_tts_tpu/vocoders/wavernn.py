@@ -502,12 +502,21 @@ def cast_generation_params(params, dtype):
     return out
 
 
-def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False):
+def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False,
+                        backend: str = "xla"):
     """Build the jitted ``run(params, mels_up, aux, rng) -> samples``
     (or, with ``with_noise``, ``run(params, mels_up, aux, noise1,
     noise2)`` taking the pre-drawn sampling noise — used by the
     multi-utterance batch path, which draws per-utterance noise from
     per-utterance keys).
+
+    ``backend="pallas"`` swaps the ``lax.scan`` for the whole-loop
+    Pallas TPU kernel (pallas_gen.py): sample-loop weights stay resident
+    in VMEM for the entire generation instead of being re-read from HBM
+    every step — measured 1.3-1.6× and parity-tested against this scan.
+    Applied up to 96 fold rows (one VMEM-sized row group); wider
+    batches fall back to this scan, which measures faster there
+    (pallas_gen.py, BENCHMARKS.md).
 
     Two structural optimizations over a naive per-step port
     (reference loop: msa_tts/utils/wavernn/wavernn.py:123-166):
@@ -565,6 +574,37 @@ def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False):
             a_rest = jnp.zeros((B, T, 0))
         # hoisted conditioning projection: one large batched matmul
         i_static = _mm(static_in, W_I[:, 1:]) + params["I"]["bias"]
+
+        # Measured crossover (BENCHMARKS.md): the kernel wins up to ~96
+        # fold rows (one VMEM-sized row group, 1.3-1.6×); beyond that
+        # its row groups would serialize extra time loops while XLA's
+        # single wide scan amortizes the weight reads over all rows —
+        # so big aggregate batches route to the scan automatically.
+        if backend == "pallas" and B <= 96:
+            from .pallas_gen import (
+                make_pallas_generate,
+                split_generation_params,
+            )
+
+            w = split_generation_params(params, cfg)
+            chunk = 32 if B <= 32 else 16
+            Tp = -(-T // chunk) * chunk
+            ist = jnp.swapaxes(i_static, 0, 1)
+            ar = jnp.swapaxes(a_rest, 0, 1)
+            n1, n2 = noise1, noise2
+            if Tp != T:
+                # trailing pad steps generate trimmed-away garbage; zero
+                # noise keeps them finite
+                pad = Tp - T
+
+                def padt(x):
+                    return jnp.pad(
+                        x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                    )
+
+                ist, ar, n1, n2 = padt(ist), padt(ar), padt(n1), padt(n2)
+            run_k = make_pallas_generate(cfg, B, Tp, chunk=chunk)
+            return run_k(w, ist, ar, n1, n2)[:, :T]
 
         carry = (
             jnp.zeros((B, 1)),
@@ -649,10 +689,11 @@ class WaveRNN:
 
     def __init__(self, params=None, state=None, cfg: WaveRNNConfig = None,
                  rng=None, gen_dtype: str | None = "bfloat16",
-                 **ref_params):
+                 gen_backend: str = "auto", **ref_params):
         if cfg is None:
             cfg = config_from_params(**ref_params)
             gen_dtype = ref_params.get("gen_dtype", gen_dtype)
+            gen_backend = ref_params.get("gen_backend", gen_backend)
         self.cfg = cfg
         if params is None:
             params, state = init_wavernn(
@@ -666,7 +707,20 @@ class WaveRNN:
         self._gen_params = cast_generation_params(
             params, jnp.dtype(gen_dtype) if gen_dtype else None
         )
-        self._run = jax.jit(_make_generate_scan(cfg))
+        # auto: the whole-loop Pallas kernel (pallas_gen.py) on real TPU
+        # hardware, the lax.scan everywhere else (CPU/GPU/interpret)
+        if gen_backend == "auto":
+            gen_backend = (
+                "pallas"
+                if any(
+                    "tpu" in str(getattr(d, "platform", "")).lower()
+                    or "tpu" in str(d).lower()
+                    for d in jax.devices()
+                )
+                else "xla"
+            )
+        self.gen_backend = gen_backend
+        self._run = jax.jit(_make_generate_scan(cfg, backend=gen_backend))
         self._upsample = jax.jit(
             lambda p, s, m: upsample_apply(p, s, cfg, m, train=False)
         )
@@ -687,7 +741,7 @@ class WaveRNN:
         if key in self._pipelines:
             return self._pipelines[key]
         cfg = self.cfg
-        scan_run = _make_generate_scan(cfg)
+        scan_run = _make_generate_scan(cfg, backend=self.gen_backend)
 
         def fold(x):  # (1, T, F) → (n_pad_folds, target+2·overlap, F)
             folded, num_folds = _fold_device(x[0], target, overlap)
@@ -717,7 +771,9 @@ class WaveRNN:
         if key in self._pipelines:
             return self._pipelines[key]
         cfg = self.cfg
-        scan_noise = _make_generate_scan(cfg, with_noise=True)
+        scan_noise = _make_generate_scan(
+            cfg, with_noise=True, backend=self.gen_backend
+        )
 
         def pipeline(up_params, up_state, gen_params, mels, rngs):
             # mels: (B, n_mels, T) already cfg.pad-extended; rngs: (B, 2)
