@@ -1,0 +1,440 @@
+"""Whole-loop Pallas TPU kernel for autoregressive Tacotron2 inference.
+
+Why: the serving decode (`decoder.decoder_infer`) is weight-bandwidth
+bound — every autoregressive step re-reads the ~38 MB (bf16) of
+attention-LSTM / decoder-LSTM / projection weights from HBM, because
+XLA materializes each step's matmuls against HBM-resident operands.
+The v5e holds ~128 MB of VMEM (probed — see BENCHMARKS.md), so this
+kernel runs the ENTIRE decode loop inside ONE ``pallas_call`` with the
+weights, the encoder conditioning, the attention state and the output
+buffers all VMEM-resident; HBM is touched once at entry and once at
+exit.
+
+Exactness: the kernel computes the same function as ``decoder_infer``
+(same gate math, same early-stopping count semantics, f32 gate/state
+arithmetic with matmuls at the weights' dtype).  The prenet's
+always-on dropout is the one stochastic input: its masks are
+precomputed OUTSIDE the kernel with ``decoder._infer_step``'s exact
+``fold_in(rng, step)`` key schedule and streamed in, so kernel and XLA
+paths draw identical noise — parity is tested at both the kernel and
+the serving level (tests/test_pallas_decoder.py).
+
+Supported attention config: ForwardAttention with/without
+forward_attn / trans_agent / location_attention, softmax or
+normalized-sigmoid norm, optional energy masking.  Inference-time
+windowing and forward_attn_mask (reference quirks off by default) are
+NOT lowered — ``supports_config`` gates them back to the XLA path.
+
+Reference for the algorithm: msa_tts/models/modules_tacotron2nv/
+decoder.py:333-411 and forward_attn.py:103-224 — re-derived TPU-first,
+not ported.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import MASK_VALUE
+from .decoder import DecoderConfig
+from ..ops.masking import sequence_mask
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl, pltpu
+
+
+def supports_config(cfg: DecoderConfig) -> bool:
+    """True when the kernel lowers this decoder configuration."""
+    ap = cfg.attention_params
+    return (
+        ap.get("attention_type") == "ForwardAttention"
+        and not ap.get("windowing", False)
+        and not ap.get("forward_attn_mask", False)
+        and ap.get("norm", "softmax") in ("softmax", "sigmoid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weight repacking
+# --------------------------------------------------------------------------
+
+def split_decoder_params(params, cfg: DecoderConfig):
+    """Transpose every matmul to (in, out) and split each concat-input
+    layer into per-operand halves (the same linear map without in-kernel
+    concatenation).  Biases become (1, out) f32 rows."""
+    E = cfg.encoder_embedding_dim
+    H = cfg.attention_rnn_dim
+    P = cfg.prenet_dim
+
+    def t(w):
+        return jnp.swapaxes(w, 0, 1)
+
+    def b(v):
+        return jnp.asarray(v, jnp.float32).reshape(1, -1)
+
+    att = params["attention_layer"]
+    a_ih = t(params["attention_rnn"]["weight_ih"])     # (P+E, 4H)
+    d_ih = t(params["decoder_rnn"]["weight_ih"])       # (H+E, 4Hd)
+    pj = t(params["linear_projection"]["weight"])      # (Hd+E, MR)
+    gt = t(params["gate_layer"]["weight"])             # (Hd+E, 1)
+    Hd = cfg.decoder_rnn_dim
+    w = {
+        "pre1": t(params["prenet"]["layers"][0]["weight"]),
+        "pre2": t(params["prenet"]["layers"][1]["weight"]),
+        "att_ih_p": a_ih[:P],
+        "att_ih_c": a_ih[P:],
+        "att_hh": t(params["attention_rnn"]["weight_hh"]),
+        "att_b": b(
+            params["attention_rnn"]["bias_ih"]
+            + params["attention_rnn"]["bias_hh"]
+        ),
+        "q_w": t(att["query_layer"]["weight"]),        # (H, A)
+        "v_w": b(att["v"]["weight"]),                  # (1, A) row
+        "v_b": b(att["v"]["bias"]),                    # (1, 1)
+        "dec_ih_h": d_ih[:H],
+        "dec_ih_c": d_ih[H:],
+        "dec_hh": t(params["decoder_rnn"]["weight_hh"]),
+        "dec_b": b(
+            params["decoder_rnn"]["bias_ih"]
+            + params["decoder_rnn"]["bias_hh"]
+        ),
+        "proj_h": pj[:Hd],
+        "proj_c": pj[Hd:],
+        "proj_b": b(params["linear_projection"]["bias"]),
+        "gate_h": gt[:Hd],
+        "gate_c": gt[Hd:],
+        "gate_b": b(params["gate_layer"]["bias"]),
+    }
+    ap = cfg.attention_params
+    if ap.get("location_attention", True):
+        lc = att["location_layer"]["location_conv1d"]["weight"]  # (F, 2, K)
+        # per-tap filter rows: tap k of the previous-α / cumulative-α
+        # channels, each (K, F) — the conv becomes K shifted outer adds
+        w["loc_prev"] = jnp.swapaxes(lc[:, 0, :], 0, 1)
+        w["loc_cum"] = jnp.swapaxes(lc[:, 1, :], 0, 1)
+        w["loc_dense"] = t(att["location_layer"]["location_dense"]["weight"])
+    else:
+        A = ap["attention_dim"]
+        F = ap.get("attention_location_n_filters", 32)
+        K = ap.get("attention_location_kernel_size", 31)
+        w["loc_prev"] = jnp.zeros((K, F), jnp.float32)
+        w["loc_cum"] = jnp.zeros((K, F), jnp.float32)
+        w["loc_dense"] = jnp.zeros((F, A), jnp.float32)
+    if ap.get("trans_agent", True) and "ta" in att:
+        ta = t(att["ta"]["weight"])                    # (E+H, 1)
+        w["ta_c"], w["ta_q"] = ta[:E], ta[E:]
+        w["ta_b"] = b(att["ta"]["bias"])
+    else:
+        w["ta_c"] = jnp.zeros((E, 1), jnp.float32)
+        w["ta_q"] = jnp.zeros((H, 1), jnp.float32)
+        w["ta_b"] = jnp.zeros((1, 1), jnp.float32)
+    return w
+
+
+_W_NAMES = (
+    "pre1", "pre2",
+    "att_ih_p", "att_ih_c", "att_hh", "att_b",
+    "q_w", "v_w", "v_b", "loc_prev", "loc_cum", "loc_dense",
+    "ta_c", "ta_q", "ta_b",
+    "dec_ih_h", "dec_ih_c", "dec_hh", "dec_b",
+    "proj_h", "proj_c", "proj_b", "gate_h", "gate_c", "gate_b",
+)
+
+
+def _dot(x, w):
+    """x (B, in) @ w (in, out) at the weight dtype, f32 accumulation."""
+    return jax.lax.dot_general(
+        x.astype(w.dtype), w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _lstm(gates, h, c):
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H: 2 * H])
+    g = jnp.tanh(gates[:, 2 * H: 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def make_pallas_decoder_infer(cfg: DecoderConfig, B: int, T_in: int,
+                              dtype=jnp.float32, interpret: bool = False):
+    """Build ``run(w, enc, pinputs, maskf, pre_masks) -> (mels (S,B,MR),
+    gates (S,B), aligns (S,B,T), mel_lengths (1,B) i32, n_steps (1,1))``
+    — the whole autoregressive loop (early stopping included) in one
+    kernel launch."""
+    if not supports_config(cfg):
+        raise ValueError("decoder config not supported by the kernel")
+    pl, pltpu = _pl()
+    ap = cfg.attention_params
+    S = cfg.max_decoder_steps
+    MR = cfg.n_mel_channels * cfg.n_frames_per_step
+    E = cfg.encoder_embedding_dim
+    H = cfg.attention_rnn_dim
+    Hd = cfg.decoder_rnn_dim
+    A = ap["attention_dim"]
+    K = ap.get("attention_location_kernel_size", 31)
+    pad_l = (K - 1) // 2
+    loc_att = ap.get("location_attention", True)
+    fwd = ap.get("forward_attn", True)
+    tagent = ap.get("trans_agent", True)
+    norm = ap.get("norm", "softmax")
+    mask_energies = ap.get("mask_energies", False)
+
+    def kernel(enc_ref, pin_ref, mask_ref, pre_ref, *refs):
+        w = dict(zip(_W_NAMES, refs[:len(_W_NAMES)]))
+        (mels_ref, gates_ref, aligns_ref, ml_ref, ns_ref) = (
+            refs[len(_W_NAMES): len(_W_NAMES) + 5]
+        )
+        (ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref, cum_ref,
+         alpha_ref, u_ref, din_ref, nf_ref, mlen_ref) = (
+            refs[len(_W_NAMES) + 5:]
+        )
+
+        # ---- buffer/state init (reference: decoder.py:430-443 +
+        #      attention.py:init_attn_state)
+        mels_ref[:] = jnp.zeros_like(mels_ref)
+        gates_ref[:] = jnp.full_like(gates_ref, 1e3)
+        aligns_ref[:] = jnp.zeros_like(aligns_ref)
+        ah_ref[:] = jnp.zeros_like(ah_ref)
+        ac_ref[:] = jnp.zeros_like(ac_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        ctx_ref[:] = jnp.zeros_like(ctx_ref)
+        aw_ref[:] = jnp.zeros_like(aw_ref)
+        cum_ref[:] = jnp.zeros_like(cum_ref)
+        pos_t = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+        alpha_ref[:] = jnp.where(pos_t == 0, 1.0, 1e-7)
+        u_ref[:] = jnp.full_like(u_ref, 0.5)
+        din_ref[:] = jnp.zeros_like(din_ref)
+        nf_ref[:] = jnp.ones_like(nf_ref)
+        mlen_ref[:] = jnp.zeros_like(mlen_ref)
+
+        def body(carry):
+            t, _alive = carry
+            # prenet with the exact precomputed dropout masks
+            pm = pre_ref[t].astype(jnp.float32)       # (2, B, P)
+            x = jax.nn.relu(_dot(din_ref[:], w["pre1"][:])) * pm[0]
+            x = jax.nn.relu(_dot(x, w["pre2"][:])) * pm[1]
+            # attention LSTM (input = [prenet, context], split matmuls)
+            ctx = ctx_ref[:]
+            g4 = (
+                _dot(x, w["att_ih_p"][:]) + _dot(ctx, w["att_ih_c"][:])
+                + _dot(ah_ref[:], w["att_hh"][:]) + w["att_b"][:]
+            )
+            ah, ac = _lstm(g4, ah_ref[:], ac_ref[:])
+            ah_ref[:] = ah
+            ac_ref[:] = ac
+            # ---- attention
+            pq = _dot(ah, w["q_w"][:])                 # (B, A)
+            if loc_att:
+                zpad = jnp.zeros((B, pad_l), jnp.float32)
+                cat_p = jnp.concatenate([zpad, aw_ref[:], zpad], axis=1)
+                cat_c = jnp.concatenate([zpad, cum_ref[:], zpad], axis=1)
+                wp = w["loc_prev"][:].astype(jnp.float32)  # (K, F)
+                wc = w["loc_cum"][:].astype(jnp.float32)
+                loc = jnp.zeros((B, T_in, wp.shape[1]), jnp.float32)
+                for k in range(K):                     # static unroll
+                    loc = loc + (
+                        cat_p[:, k: k + T_in, None] * wp[k][None, None, :]
+                        + cat_c[:, k: k + T_in, None] * wc[k][None, None, :]
+                    )
+                ploc = jax.lax.dot_general(
+                    loc.astype(w["loc_dense"].dtype), w["loc_dense"][:],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                      # (B, T, A)
+                pre_tanh = pq[:, None, :] + ploc + pin_ref[:].astype(
+                    jnp.float32
+                )
+            else:
+                pre_tanh = pq[:, None, :] + pin_ref[:].astype(jnp.float32)
+            vv = w["v_w"][:].astype(jnp.float32)       # (1, A)
+            e = jnp.sum(
+                jnp.tanh(pre_tanh) * vv[None, :, :], axis=-1
+            ) + w["v_b"][0, 0]                         # (B, T)
+            if mask_energies:
+                e = jnp.where(mask_ref[:] > 0, e, MASK_VALUE)
+            if norm == "softmax":
+                align = jax.nn.softmax(e, axis=-1)
+            else:
+                sg = jax.nn.sigmoid(e)
+                align = sg / jnp.sum(sg, axis=1, keepdims=True)
+            if loc_att:
+                cum_ref[:] = cum_ref[:] + align
+            if fwd:
+                alpha = alpha_ref[:]
+                shifted = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.float32), alpha[:, :-1]], axis=1
+                )
+                u = u_ref[:, :1]
+                a = ((1.0 - u) * alpha + u * shifted + 1e-8) * align
+                align = a / jnp.sum(a, axis=1, keepdims=True)
+                alpha_ref[:] = align
+            aw_ref[:] = align
+            ctx = jnp.sum(
+                align[:, :, None] * enc_ref[:].astype(jnp.float32), axis=1
+            )                                          # (B, E)
+            ctx_ref[:] = ctx
+            if fwd and tagent:
+                u_new = jax.nn.sigmoid(
+                    _dot(ctx, w["ta_c"][:]) + _dot(ah, w["ta_q"][:])
+                    + w["ta_b"][:]
+                )                                      # (B, 1)
+                u_ref[:, :1] = u_new
+            # decoder LSTM (input = [attn_h, context])
+            g4 = (
+                _dot(ah, w["dec_ih_h"][:]) + _dot(ctx, w["dec_ih_c"][:])
+                + _dot(dh_ref[:], w["dec_hh"][:]) + w["dec_b"][:]
+            )
+            dh, dc = _lstm(g4, dh_ref[:], dc_ref[:])
+            dh_ref[:] = dh
+            dc_ref[:] = dc
+            mel = (
+                _dot(dh, w["proj_h"][:]) + _dot(ctx, w["proj_c"][:])
+                + w["proj_b"][:]
+            )                                          # (B, MR)
+            gate = (
+                _dot(dh, w["gate_h"][:]) + _dot(ctx, w["gate_c"][:])
+                + w["gate_b"][:]
+            )[:, 0]                                    # (B,)
+            dec = (
+                jax.nn.sigmoid(gate) <= cfg.gate_threshold
+            ).astype(jnp.float32)
+            nf = nf_ref[:, 0] * dec
+            nf_ref[:, 0] = nf
+            mlen_ref[:, 0] = mlen_ref[:, 0] + nf.astype(jnp.int32)
+            mels_ref[t] = mel
+            gates_ref[t, :] = gate
+            aligns_ref[t] = align
+            din_ref[:] = mel
+            return t + 1, jnp.sum(nf).astype(jnp.int32)
+
+        def cond(carry):
+            t, alive = carry
+            under = t < S
+            if cfg.early_stopping:
+                return under & (alive > 0)
+            return under
+
+        n_steps, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32))
+        )
+        ml_ref[0, :] = mlen_ref[:, 0]
+        ns_ref[0, 0] = n_steps
+
+    def whole():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(w: dict, enc, pinputs, maskf, pre_masks):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[whole()] * (4 + len(_W_NAMES)),
+            out_specs=(
+                whole(), whole(), whole(), whole(),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((S, B, MR), jnp.float32),
+                jax.ShapeDtypeStruct((S, B), jnp.float32),
+                jax.ShapeDtypeStruct((S, B, T_in), jnp.float32),
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((B, H), jnp.float32),       # attention h
+                pltpu.VMEM((B, H), jnp.float32),       # attention c
+                pltpu.VMEM((B, Hd), jnp.float32),      # decoder h
+                pltpu.VMEM((B, Hd), jnp.float32),      # decoder c
+                pltpu.VMEM((B, E), jnp.float32),       # context
+                pltpu.VMEM((B, T_in), jnp.float32),    # attention weights
+                pltpu.VMEM((B, T_in), jnp.float32),    # cumulative weights
+                pltpu.VMEM((B, T_in), jnp.float32),    # forward alpha
+                pltpu.VMEM((B, 8), jnp.float32),       # transition agent u
+                pltpu.VMEM((B, MR), jnp.float32),      # AR decoder input
+                pltpu.VMEM((B, 8), jnp.float32),       # not_finished
+                pltpu.VMEM((B, 8), jnp.int32),         # mel_lengths
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            enc, pinputs, maskf, pre_masks,
+            *[w[k] for k in _W_NAMES],
+        )
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# decoder_infer-compatible wrapper
+# --------------------------------------------------------------------------
+
+def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int):
+    """The prenet dropout masks ``decoder._infer_step`` would draw, for
+    every step up front: mask/keep multipliers (0 or 1/keep — exactly
+    representable, so the kernel multiplies where the XLA path selects),
+    using the same fold_in(rng, step) → split → fold_in(k_pre, layer)
+    schedule, which is what makes kernel/XLA outputs bit-comparable."""
+    keep = 1.0 - cfg.p_prenet_dropout
+    P = cfg.prenet_dim
+
+    def step_masks(t):
+        k_step = jax.random.fold_in(rng, t)
+        k_pre, _ = jax.random.split(k_step)
+        return jnp.stack(
+            [
+                jax.random.bernoulli(
+                    jax.random.fold_in(k_pre, i), keep, (B, P)
+                ).astype(jnp.float32)
+                / keep
+                for i in range(2)
+            ],
+            axis=0,
+        )
+
+    return jax.vmap(step_masks)(jnp.arange(S))        # (S, 2, B, P)
+
+
+def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
+                         input_lengths, rng, *, interpret: bool = False):
+    """Drop-in for :func:`decoder.decoder_infer` (inference path) running
+    the whole AR loop in one Pallas kernel.  Same returns:
+    ``(mel_outputs (B, n_mel, S·r), gate_outputs (B, S·r), alignments
+    (B, S, T_in), mel_lengths (B,), n_steps)``."""
+    from .attention import preprocess_inputs
+
+    B, T_in, _ = encoder_outputs.shape
+    r = cfg.n_frames_per_step
+    S = cfg.max_decoder_steps
+    w = split_decoder_params(params, cfg)
+    pinputs = preprocess_inputs(
+        params["attention_layer"], encoder_outputs
+    )
+    maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
+    pre_masks = _prenet_masks(cfg, rng, S, B)
+    run = make_pallas_decoder_infer(
+        cfg, B, T_in, dtype=encoder_outputs.dtype, interpret=interpret
+    )
+    mels, gates, aligns, ml, ns = run(
+        w, encoder_outputs, pinputs, maskf, pre_masks
+    )
+    mel_outputs = jnp.swapaxes(mels, 0, 1)            # (B, S, MR)
+    mel_outputs = mel_outputs.reshape(B, S * r, cfg.n_mel_channels)
+    mel_outputs = jnp.swapaxes(mel_outputs, 1, 2)
+    gate_outputs = jnp.repeat(jnp.swapaxes(gates, 0, 1), r, axis=1)
+    alignments = jnp.swapaxes(aligns, 0, 1)
+    return mel_outputs, gate_outputs, alignments, ml[0], ns[0, 0]

@@ -294,6 +294,7 @@ def tacotron2nv_infer(
     *,
     train: bool = False,
     mask_pad: bool = False,
+    decoder_backend: str = "xla",
 ):
     """Autoregressive synthesis.
 
@@ -303,18 +304,39 @@ def tacotron2nv_infer(
     for frames).  The trailing buffer beyond ``mel_lengths`` is padding.
     ``mask_pad`` decouples the result from text-padding length (serving
     shape bucketing); default keeps reference parity — see ``_encode``.
+
+    ``decoder_backend="pallas"`` runs the AR loop as ONE whole-loop
+    Pallas kernel (models/pallas_decoder.py) — decoder weights and
+    attention state VMEM-resident instead of re-read from HBM every
+    step; parity-tested, falls back here when the attention config
+    isn't lowered.
     """
     enc_cond, _ = _encode(
         params, state, cfg, inputs, input_lengths, speaker_vecs, rng, train,
         mask_pad=mask_pad,
     )
     k_dec = jax.random.fold_in(rng, 2)
-    mel_outputs, gate_outputs, alignments, mel_lengths, n_steps = (
-        decoder_infer(
-            params["decoder"], cfg.decoder_config(), enc_cond,
-            input_lengths, k_dec, training=train,
+    dcfg = cfg.decoder_config()
+    use_pallas = decoder_backend == "pallas" and not train
+    if use_pallas:
+        from .pallas_decoder import supports_config
+
+        use_pallas = supports_config(dcfg)
+    if use_pallas:
+        from .pallas_decoder import pallas_decoder_infer
+
+        mel_outputs, gate_outputs, alignments, mel_lengths, n_steps = (
+            pallas_decoder_infer(
+                params["decoder"], dcfg, enc_cond, input_lengths, k_dec
+            )
         )
-    )
+    else:
+        mel_outputs, gate_outputs, alignments, mel_lengths, n_steps = (
+            decoder_infer(
+                params["decoder"], dcfg, enc_cond,
+                input_lengths, k_dec, training=train,
+            )
+        )
     k_post = jax.random.fold_in(rng, 3)
     post_res, _ = postnet_apply(
         params["postnet"], state["postnet"], mel_outputs,

@@ -101,6 +101,23 @@ class AdaptiveTTS:
         self._infer_dtype = (
             jnp.bfloat16 if idt in ("bfloat16", "bf16") else None
         )
+        # decode_backend: the whole-loop Pallas decoder kernel
+        # (models/pallas_decoder.py) keeps the AR decoder weights
+        # VMEM-resident instead of re-reading ~38 MB from HBM per step.
+        # auto → kernel on TPU hardware (it falls back internally when
+        # the attention config isn't lowered), XLA while-loop elsewhere.
+        db = params.get("decode_backend", "auto")
+        if db == "auto":
+            db = (
+                "pallas"
+                if any(
+                    "tpu" in str(getattr(d, "platform", "")).lower()
+                    or "tpu" in str(d).lower()
+                    for d in jax.devices()
+                )
+                else "xla"
+            )
+        self.decode_backend = db
 
         # mask_pad: serving pads/buckets text lengths for shape reuse —
         # masking the encoder convs makes each row's output independent
@@ -108,7 +125,8 @@ class AdaptiveTTS:
         def _infer(p, s, i, il, sv, rng):
             p, s, sv = self._cast_infer(p, s, sv)
             mel, mel_len, align = tacotron2nv_infer(
-                p, s, self.cfg, i, il, sv, rng, mask_pad=True
+                p, s, self.cfg, i, il, sv, rng, mask_pad=True,
+                decoder_backend=self.decode_backend,
             )
             return (
                 mel.astype(jnp.float32), mel_len,

@@ -229,7 +229,7 @@ def _make_kernel(cfg: WaveRNNConfig, chunk: int):
 
 
 def make_pallas_generate(cfg: WaveRNNConfig, B: int, T: int,
-                         chunk: int = 32, row_group: int = 64,
+                         chunk: int = 32, row_group: int | None = None,
                          interpret: bool = False):
     """Build ``run(split_params, i_static, a_rest, noise1, noise2) ->
     samples (B, T)`` — a drop-in for the scan inside
@@ -239,14 +239,17 @@ def make_pallas_generate(cfg: WaveRNNConfig, B: int, T: int,
     ``T`` must be a multiple of ``chunk`` (callers pad; trailing steps
     generate garbage the fold/unfold already discards).
 
-    Fold rows are independent AR chains, so batches larger than
-    ``row_group`` run as an outer grid dimension: grid = (row_groups,
-    time_chunks) with time fastest.  Each row group re-runs the full
-    time loop from zero state while the weights — the whole point of
-    the kernel — stay VMEM-resident across ALL groups, loaded from HBM
-    once per call.  VMEM use is therefore fixed in B (rows are padded
-    up to a multiple of ``row_group``; pad rows compute garbage that is
-    sliced away).
+    One row group (the default, ``row_group=None``) is fastest at every
+    measured batch — v5e VMEM (~128 MB, probed) holds the weights plus
+    the double-buffered streams for thousands of rows when callers size
+    ``chunk`` down with B.  Fold rows are independent AR chains, so an
+    explicit smaller ``row_group`` runs them as an outer grid dimension
+    (grid = (row_groups, time_chunks), time fastest): each group re-runs
+    the time loop from zero state while the weights stay VMEM-resident
+    across ALL groups.  That trades serialized time loops for fixed VMEM
+    — measured slower, kept as the constrained-memory escape hatch (rows
+    pad up to a multiple of ``row_group``; pad rows compute garbage that
+    is sliced away).
     """
     if T % chunk:
         raise ValueError(f"T={T} not a multiple of chunk={chunk}")
@@ -254,7 +257,7 @@ def make_pallas_generate(cfg: WaveRNNConfig, B: int, T: int,
     d3 = 3 * cfg.aux_dims
     K = cfg.n_classes // 3 if cfg.mode == "MOL" else 1
     kernel = _make_kernel(cfg, chunk)
-    RG = min(B, row_group)
+    RG = B if row_group is None else min(B, row_group)
     G = -(-B // RG)
     Bp = G * RG
     grid = (G, T // chunk)
@@ -304,6 +307,11 @@ def make_pallas_generate(cfg: WaveRNNConfig, B: int, T: int,
                 pltpu.VMEM((RG, cfg.rnn_dims), jnp.float32),   # h1
                 pltpu.VMEM((RG, cfg.rnn_dims), jnp.float32),   # h2
             ],
+            # the v5e has ~128 MB of VMEM (probed; the conservative
+            # compiler default rejects row groups the chip easily holds)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             padb(i_static), padb(a_rest), padb(n1), padb(n2),

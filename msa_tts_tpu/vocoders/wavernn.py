@@ -575,19 +575,22 @@ def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False,
         # hoisted conditioning projection: one large batched matmul
         i_static = _mm(static_in, W_I[:, 1:]) + params["I"]["bias"]
 
-        # Measured crossover (BENCHMARKS.md): the kernel wins up to ~96
-        # fold rows (one VMEM-sized row group, 1.3-1.6×); beyond that
-        # its row groups would serialize extra time loops while XLA's
-        # single wide scan amortizes the weight reads over all rows —
-        # so big aggregate batches route to the scan automatically.
-        if backend == "pallas" and B <= 96:
+        # The kernel wins at every measured batch (1.3-1.65×,
+        # BENCHMARKS.md) with ONE row group and a chunk sized so the
+        # double-buffered conditioning stream fits VMEM (~128 MB on
+        # v5e, probed).  Row groups would serialize extra time loops —
+        # only the absurd->1536-row case falls back to the scan rather
+        # than pay that.
+        if backend == "pallas" and B <= 1536:
             from .pallas_gen import (
                 make_pallas_generate,
                 split_generation_params,
             )
 
             w = split_generation_params(params, cfg)
-            chunk = 32 if B <= 32 else 16
+            chunk = 8
+            while chunk < 128 and chunk * 2 * B <= 12288:
+                chunk *= 2
             Tp = -(-T // chunk) * chunk
             ist = jnp.swapaxes(i_static, 0, 1)
             ar = jnp.swapaxes(a_rest, 0, 1)
