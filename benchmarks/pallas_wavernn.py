@@ -80,7 +80,11 @@ def per_step_sweep(batches, T=1024):
             return (time.time() - t0) / n / T * 1e6
 
         ux = bench(run_xla, gen, mels_up, aux, n1, n2)
-        chunk = 32 if B <= 32 else 16
+        chunk = 8
+        while chunk < 128 and chunk * 2 * B <= 12288:
+            chunk *= 2
+        if T % chunk:
+            chunk = 8
         rp = jax.jit(make_pallas_generate(CFG, B, T, chunk=chunk))
         up = bench(rp, w, ist, ar, n1, n2)
         rows.append({"B": B, "xla_us_step": round(ux, 2),
@@ -123,7 +127,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args(argv)
-    batches = (16, 48) if args.quick else (16, 32, 48, 64, 96)
+    batches = (16, 48) if args.quick else (16, 48, 96, 160, 320)
     out = {
         "per_step": per_step_sweep(batches, T=512 if args.quick else 1024),
         "end_to_end": end_to_end(n_timed=2 if args.quick else 4),

@@ -100,7 +100,9 @@ class Inference:
         self._metatest = jax.jit(
             make_metatest_fn(loss_fn, inner_tx, params["n_inner_test"])
         )
-        db = _resolve_decode_backend(self.params)
+        from .utils.backend import resolve_kernel_backend
+
+        db = resolve_kernel_backend(self.params.get("decode_backend"))
         self._infer_jit = jax.jit(
             lambda p, s, i, il, sv, rng: tacotron2nv_infer(
                 p, s, self.cfg, i, il, sv, rng, decoder_backend=db
@@ -419,22 +421,3 @@ def main(cmd_params: dict):
 if __name__ == "__main__":
     main(get_cmd_params())
 
-
-def _resolve_decode_backend(params) -> str:
-    """decode_backend param: auto → the whole-loop Pallas decoder kernel
-    on TPU hardware (models/pallas_decoder.py), XLA while-loop
-    elsewhere.  Same contract as serving.AdaptiveTTS."""
-    import jax as _jax
-
-    db = params.get("decode_backend", "auto")
-    if db == "auto":
-        db = (
-            "pallas"
-            if any(
-                "tpu" in str(getattr(d, "platform", "")).lower()
-                or "tpu" in str(d).lower()
-                for d in _jax.devices()
-            )
-            else "xla"
-        )
-    return db

@@ -59,6 +59,56 @@ def supports_config(cfg: DecoderConfig) -> bool:
     )
 
 
+# Leave headroom under the 100 MB vmem_limit for Mosaic's own
+# temporaries (softmax/tanh intermediates at (B, T_in, A)).
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def estimated_vmem_bytes(cfg: DecoderConfig, B: int, T_in: int,
+                         weight_bytes: int) -> int:
+    """Everything the kernel keeps VMEM-resident: weights, per-utterance
+    conditioning, the precomputed prenet-dropout stream, the S-step
+    output buffers and the state scratch.  Used to gate the kernel —
+    a config/batch whose footprint exceeds the budget routes back to
+    the XLA while-loop instead of failing Mosaic's VMEM check at
+    compile time (e.g. fp32 full dims at B≥8 with a 1000-step cap)."""
+    ap = cfg.attention_params
+    E, H, Hd, P = (
+        cfg.encoder_embedding_dim, cfg.attention_rnn_dim,
+        cfg.decoder_rnn_dim, cfg.prenet_dim,
+    )
+    A = ap["attention_dim"]
+    F = ap.get("attention_location_n_filters", 32)
+    K = ap.get("attention_location_kernel_size", 31)
+    MR = cfg.n_mel_channels * cfg.n_frames_per_step
+    S = cfg.max_decoder_steps
+    n_weights = (
+        MR * P + P * P                              # prenet
+        + (P + E + H) * 4 * H + 4 * H               # attention LSTM
+        + H * A + 2 * K * F + F * A + A + 1         # attention
+        + (E + H) + 1                               # transition agent
+        + (H + E + Hd) * 4 * Hd + 4 * Hd            # decoder LSTM
+        + (Hd + E) * (MR + 1) + MR + 1              # projection + gate
+    )
+    return (
+        n_weights * weight_bytes
+        + 4 * B * T_in * (E + A + 1)                # enc, pinputs, mask
+        + 4 * S * 2 * B * P                         # prenet dropout masks
+        + 4 * S * B * (MR + 1 + T_in)               # output buffers
+        + 4 * B * (2 * H + 2 * Hd + E + 3 * T_in + MR + 32)  # scratch
+    )
+
+
+def fits_vmem(cfg: DecoderConfig, B: int, T_in: int,
+              weight_dtype=jnp.float32) -> bool:
+    return (
+        estimated_vmem_bytes(
+            cfg, B, T_in, jnp.dtype(weight_dtype).itemsize
+        )
+        <= _VMEM_BUDGET
+    )
+
+
 # --------------------------------------------------------------------------
 # Weight repacking
 # --------------------------------------------------------------------------
@@ -170,7 +220,7 @@ def _lstm(gates, h, c):
 # --------------------------------------------------------------------------
 
 def make_pallas_decoder_infer(cfg: DecoderConfig, B: int, T_in: int,
-                              dtype=jnp.float32, interpret: bool = False):
+                              interpret: bool = False):
     """Build ``run(w, enc, pinputs, maskf, pre_masks) -> (mels (S,B,MR),
     gates (S,B), aligns (S,B,T), mel_lengths (1,B) i32, n_steps (1,1))``
     — the whole autoregressive loop (early stopping included) in one
@@ -426,9 +476,7 @@ def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
     )
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     pre_masks = _prenet_masks(cfg, rng, S, B)
-    run = make_pallas_decoder_infer(
-        cfg, B, T_in, dtype=encoder_outputs.dtype, interpret=interpret
-    )
+    run = make_pallas_decoder_infer(cfg, B, T_in, interpret=interpret)
     mels, gates, aligns, ml, ns = run(
         w, encoder_outputs, pinputs, maskf, pre_masks
     )

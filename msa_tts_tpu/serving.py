@@ -106,18 +106,11 @@ class AdaptiveTTS:
         # VMEM-resident instead of re-reading ~38 MB from HBM per step.
         # auto → kernel on TPU hardware (it falls back internally when
         # the attention config isn't lowered), XLA while-loop elsewhere.
-        db = params.get("decode_backend", "auto")
-        if db == "auto":
-            db = (
-                "pallas"
-                if any(
-                    "tpu" in str(getattr(d, "platform", "")).lower()
-                    or "tpu" in str(d).lower()
-                    for d in jax.devices()
-                )
-                else "xla"
-            )
-        self.decode_backend = db
+        from .utils.backend import resolve_kernel_backend
+
+        self.decode_backend = resolve_kernel_backend(
+            params.get("decode_backend")
+        )
 
         # mask_pad: serving pads/buckets text lengths for shape reuse —
         # masking the encoder convs makes each row's output independent
@@ -568,6 +561,13 @@ def synthesize_stream(
     per chunk (boundary approximation); wavernn is sample-level
     autoregressive, so each chunk is an independent generation — same
     voice/quality, not the offline sample sequence.
+
+    Backend note: streaming always decodes through the XLA segment
+    path (``decoder_infer_segment``) — under ``decode_backend: pallas``
+    the offline :meth:`synthesize` uses the whole-loop kernel, so
+    offline and streamed agree within fp tolerance (compiled-kernel
+    drift ~1e-4 through the AR feedback) rather than bit-exactly; pin
+    ``decode_backend: xla`` when bit-exact offline==streamed matters.
 
     ``text_pad_multiple`` > 1 quantizes the padded phoneme length
     (masked in the encoder convs/BiLSTM/attention — tacotron2nv.py:

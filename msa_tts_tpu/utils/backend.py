@@ -1,0 +1,27 @@
+"""Kernel-backend resolution shared by serving, the inference drivers
+and the vocoders: ``auto`` → the whole-loop Pallas kernels on real TPU
+hardware, the XLA paths everywhere else (CPU tests, interpret mode,
+GPU)."""
+
+from __future__ import annotations
+
+import jax
+
+
+def on_tpu() -> bool:
+    """True when any visible device is a TPU (incl. the axon relay,
+    whose devices stringify as 'TPU v5 lite' with a non-tpu platform
+    tag)."""
+    return any(
+        "tpu" in str(getattr(d, "platform", "")).lower()
+        or "tpu" in str(d).lower()
+        for d in jax.devices()
+    )
+
+
+def resolve_kernel_backend(choice: str | None) -> str:
+    """Map a ``pallas`` / ``xla`` / ``auto`` (default) choice to the
+    backend to use on this host."""
+    if choice in ("pallas", "xla"):
+        return choice
+    return "pallas" if on_tpu() else "xla"

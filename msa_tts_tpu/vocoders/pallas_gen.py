@@ -278,7 +278,7 @@ def make_pallas_generate(cfg: WaveRNNConfig, B: int, T: int,
         if noise1.ndim == 2:
             noise1 = noise1[..., None]
         n2 = (noise2 if cfg.mode == "MOL" else noise1[..., 0])[..., None]
-        n1 = noise1 if cfg.mode == "MOL" else noise1
+        n1 = noise1
         if a_rest.shape[-1] == 0:
             a_rest = jnp.zeros((T, B, d3), jnp.float32)
 

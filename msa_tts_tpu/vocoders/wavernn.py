@@ -513,10 +513,11 @@ def _make_generate_scan(cfg: WaveRNNConfig, with_noise: bool = False,
     ``backend="pallas"`` swaps the ``lax.scan`` for the whole-loop
     Pallas TPU kernel (pallas_gen.py): sample-loop weights stay resident
     in VMEM for the entire generation instead of being re-read from HBM
-    every step — measured 1.3-1.6× and parity-tested against this scan.
-    Applied up to 96 fold rows (one VMEM-sized row group); wider
-    batches fall back to this scan, which measures faster there
-    (pallas_gen.py, BENCHMARKS.md).
+    every step — measured 1.3-1.65× at every fold batch from 16 to 320
+    rows and parity-tested against this scan.  One row group with a
+    chunk sized down as B grows keeps the streams inside VMEM; only an
+    absurd >1536-row batch falls back to this scan (pallas_gen.py,
+    BENCHMARKS.md).
 
     Two structural optimizations over a naive per-step port
     (reference loop: msa_tts/utils/wavernn/wavernn.py:123-166):
@@ -712,17 +713,9 @@ class WaveRNN:
         )
         # auto: the whole-loop Pallas kernel (pallas_gen.py) on real TPU
         # hardware, the lax.scan everywhere else (CPU/GPU/interpret)
-        if gen_backend == "auto":
-            gen_backend = (
-                "pallas"
-                if any(
-                    "tpu" in str(getattr(d, "platform", "")).lower()
-                    or "tpu" in str(d).lower()
-                    for d in jax.devices()
-                )
-                else "xla"
-            )
-        self.gen_backend = gen_backend
+        from ..utils.backend import resolve_kernel_backend
+
+        self.gen_backend = resolve_kernel_backend(gen_backend)
         self._run = jax.jit(_make_generate_scan(cfg, backend=gen_backend))
         self._upsample = jax.jit(
             lambda p, s, m: upsample_apply(p, s, cfg, m, train=False)

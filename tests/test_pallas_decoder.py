@@ -128,3 +128,69 @@ def test_serving_decode_backend_parity():
         )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_vmem_gate_routes_large_configs_to_xla():
+    """A config/batch whose VMEM footprint exceeds the kernel budget
+    must route back to the XLA while-loop (not fail Mosaic's VMEM check
+    at compile time): production full dims fit at small B in bf16 but
+    not at fp32 with a 1000-step cap and a wide batch."""
+    from msa_tts_tpu.models.pallas_decoder import fits_vmem
+
+    big = DecoderConfig(
+        n_mel_channels=80, n_frames_per_step=2,
+        encoder_embedding_dim=576, attention_rnn_dim=1024,
+        decoder_rnn_dim=1024, prenet_dim=256, max_decoder_steps=1000,
+        gate_threshold=0.5, p_attention_dropout=0.1,
+        p_decoder_dropout=0.1, early_stopping=True,
+        attention_params=dict(BASE_AP, attention_dim=128,
+                              attention_location_n_filters=32,
+                              attention_location_kernel_size=31),
+    )
+    assert fits_vmem(big, 1, 192, jnp.bfloat16)
+    assert not fits_vmem(big, 16, 192, jnp.float32)
+    # the tiny test config always fits
+    assert fits_vmem(_cfg(), 3, 11, jnp.float32)
+
+
+def test_vmem_gate_falls_back_inside_infer():
+    """tacotron2nv_infer with decoder_backend='pallas' but an
+    over-budget footprint must silently produce the XLA result."""
+    from msa_tts_tpu.models.pallas_decoder import _VMEM_BUDGET
+    import msa_tts_tpu.models.pallas_decoder as pd
+    from msa_tts_tpu.models import (
+        config_from_params, init_tacotron2nv, tacotron2nv_infer,
+    )
+
+    MODEL = {
+        "mask_padding": False, "n_mel_channels": 10,
+        "n_frames_per_step": 2, "n_symbols": 40,
+        "symbols_embedding_dim": 16, "encoder_n_convolutions": 1,
+        "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+        "speaker_emb_type": "static", "num_speakers": 1,
+        "speaker_embedding_dim": 8, "attention_rnn_dim": 20,
+        "decoder_rnn_dim": 20, "prenet_dim": 12,
+        "max_decoder_steps": 9, "gate_threshold": 0.5,
+        "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+        "decoder_no_early_stopping": True,
+        "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+        "postnet_n_convolutions": 2,
+        "attention_params": dict(BASE_AP),
+    }
+    cfg = config_from_params(dict(MODEL))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    inputs = jnp.ones((2, 7), jnp.int32)
+    lens = jnp.asarray([7, 5], jnp.int32)
+    sv = jnp.zeros((2, 8))
+    rng = jax.random.PRNGKey(1)
+    ref = tacotron2nv_infer(p0, s0, cfg, inputs, lens, sv, rng,
+                            decoder_backend="xla")
+    old = pd._VMEM_BUDGET
+    try:
+        pd._VMEM_BUDGET = 0   # force the gate shut
+        out = tacotron2nv_infer(p0, s0, cfg, inputs, lens, sv, rng,
+                                decoder_backend="pallas")
+    finally:
+        pd._VMEM_BUDGET = old
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
