@@ -219,6 +219,157 @@ def _lstm(gates, h, c):
 # Kernel
 # --------------------------------------------------------------------------
 
+def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
+               enc_ref, pin_ref, mask_ref, pre_ref,
+               mels_ref, gates_ref, aligns_ref,
+               ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref, cum_ref,
+               alpha_ref, u_ref, din_ref, nf_ref, mlen_ref):
+    """Bind ONE decoder step over the given VMEM refs: ``step(i)``
+    consumes prenet-mask row ``i`` / writes output row ``i`` and
+    mutates the state scratch, returning the number of still-unfinished
+    utterances.  Shared verbatim by the whole-loop kernel
+    (``make_pallas_decoder_infer``) and the streaming segment kernel
+    (``make_pallas_decoder_segment``) so their math cannot diverge."""
+    ap = cfg.attention_params
+    K = ap.get("attention_location_kernel_size", 31)
+    pad_l = (K - 1) // 2
+    loc_att = ap.get("location_attention", True)
+    fwd = ap.get("forward_attn", True)
+    tagent = ap.get("trans_agent", True)
+    norm = ap.get("norm", "softmax")
+    mask_energies = ap.get("mask_energies", False)
+
+    def step(t):
+        # prenet with the exact precomputed dropout masks
+        pm = pre_ref[t].astype(jnp.float32)       # (2, B, P)
+        x = jax.nn.relu(_dot(din_ref[:], w["pre1"][:])) * pm[0]
+        x = jax.nn.relu(_dot(x, w["pre2"][:])) * pm[1]
+        # attention LSTM (input = [prenet, context], split matmuls)
+        ctx = ctx_ref[:]
+        g4 = (
+            _dot(x, w["att_ih_p"][:]) + _dot(ctx, w["att_ih_c"][:])
+            + _dot(ah_ref[:], w["att_hh"][:]) + w["att_b"][:]
+        )
+        ah, ac = _lstm(g4, ah_ref[:], ac_ref[:])
+        ah_ref[:] = ah
+        ac_ref[:] = ac
+        # ---- attention
+        pq = _dot(ah, w["q_w"][:])                 # (B, A)
+        if loc_att:
+            zpad = jnp.zeros((B, pad_l), jnp.float32)
+            cat_p = jnp.concatenate([zpad, aw_ref[:], zpad], axis=1)
+            cat_c = jnp.concatenate([zpad, cum_ref[:], zpad], axis=1)
+            wp = w["loc_prev"][:].astype(jnp.float32)  # (K, F)
+            wc = w["loc_cum"][:].astype(jnp.float32)
+            loc = jnp.zeros((B, T_in, wp.shape[1]), jnp.float32)
+            for k in range(K):                     # static unroll
+                loc = loc + (
+                    cat_p[:, k: k + T_in, None] * wp[k][None, None, :]
+                    + cat_c[:, k: k + T_in, None] * wc[k][None, None, :]
+                )
+            ploc = jax.lax.dot_general(
+                loc.astype(w["loc_dense"].dtype), w["loc_dense"][:],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (B, T, A)
+            pre_tanh = pq[:, None, :] + ploc + pin_ref[:].astype(
+                jnp.float32
+            )
+        else:
+            pre_tanh = pq[:, None, :] + pin_ref[:].astype(jnp.float32)
+        vv = w["v_w"][:].astype(jnp.float32)       # (1, A)
+        e = jnp.sum(
+            jnp.tanh(pre_tanh) * vv[None, :, :], axis=-1
+        ) + w["v_b"][0, 0]                         # (B, T)
+        if mask_energies:
+            e = jnp.where(mask_ref[:] > 0, e, MASK_VALUE)
+        if norm == "softmax":
+            align = jax.nn.softmax(e, axis=-1)
+        else:
+            sg = jax.nn.sigmoid(e)
+            align = sg / jnp.sum(sg, axis=1, keepdims=True)
+        if loc_att:
+            cum_ref[:] = cum_ref[:] + align
+        if fwd:
+            alpha = alpha_ref[:]
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.float32), alpha[:, :-1]], axis=1
+            )
+            u = u_ref[:, :1]
+            a = ((1.0 - u) * alpha + u * shifted + 1e-8) * align
+            align = a / jnp.sum(a, axis=1, keepdims=True)
+            alpha_ref[:] = align
+        aw_ref[:] = align
+        ctx = jnp.sum(
+            align[:, :, None] * enc_ref[:].astype(jnp.float32), axis=1
+        )                                          # (B, E)
+        ctx_ref[:] = ctx
+        if fwd and tagent:
+            u_new = jax.nn.sigmoid(
+                _dot(ctx, w["ta_c"][:]) + _dot(ah, w["ta_q"][:])
+                + w["ta_b"][:]
+            )                                      # (B, 1)
+            u_ref[:, :1] = u_new
+        # decoder LSTM (input = [attn_h, context])
+        g4 = (
+            _dot(ah, w["dec_ih_h"][:]) + _dot(ctx, w["dec_ih_c"][:])
+            + _dot(dh_ref[:], w["dec_hh"][:]) + w["dec_b"][:]
+        )
+        dh, dc = _lstm(g4, dh_ref[:], dc_ref[:])
+        dh_ref[:] = dh
+        dc_ref[:] = dc
+        mel = (
+            _dot(dh, w["proj_h"][:]) + _dot(ctx, w["proj_c"][:])
+            + w["proj_b"][:]
+        )                                          # (B, MR)
+        gate = (
+            _dot(dh, w["gate_h"][:]) + _dot(ctx, w["gate_c"][:])
+            + w["gate_b"][:]
+        )[:, 0]                                    # (B,)
+        dec = (
+            jax.nn.sigmoid(gate) <= cfg.gate_threshold
+        ).astype(jnp.float32)
+        nf = nf_ref[:, 0] * dec
+        nf_ref[:, 0] = nf
+        mlen_ref[:, 0] = mlen_ref[:, 0] + nf.astype(jnp.int32)
+        mels_ref[t] = mel
+        gates_ref[t, :] = gate
+        aligns_ref[t] = align
+        din_ref[:] = mel
+        return jnp.sum(nf).astype(jnp.int32)
+
+    return step
+
+
+_SCRATCH_KEYS = (
+    "ah", "ac", "dh", "dc", "ctx", "aw", "cum", "alpha", "u", "din",
+    "nf", "mlen",
+)
+
+
+def _scratch_shapes(cfg: DecoderConfig, B: int, T_in: int):
+    pltpu = _pl()[1]
+    H, Hd, E = (
+        cfg.attention_rnn_dim, cfg.decoder_rnn_dim,
+        cfg.encoder_embedding_dim,
+    )
+    MR = cfg.n_mel_channels * cfg.n_frames_per_step
+    return [
+        pltpu.VMEM((B, H), jnp.float32),       # attention h
+        pltpu.VMEM((B, H), jnp.float32),       # attention c
+        pltpu.VMEM((B, Hd), jnp.float32),      # decoder h
+        pltpu.VMEM((B, Hd), jnp.float32),      # decoder c
+        pltpu.VMEM((B, E), jnp.float32),       # context
+        pltpu.VMEM((B, T_in), jnp.float32),    # attention weights
+        pltpu.VMEM((B, T_in), jnp.float32),    # cumulative weights
+        pltpu.VMEM((B, T_in), jnp.float32),    # forward alpha
+        pltpu.VMEM((B, 8), jnp.float32),       # transition agent u
+        pltpu.VMEM((B, MR), jnp.float32),      # AR decoder input
+        pltpu.VMEM((B, 8), jnp.float32),       # not_finished
+        pltpu.VMEM((B, 8), jnp.int32),         # mel_lengths
+    ]
+
+
 def make_pallas_decoder_infer(cfg: DecoderConfig, B: int, T_in: int,
                               interpret: bool = False):
     """Build ``run(w, enc, pinputs, maskf, pre_masks) -> (mels (S,B,MR),
@@ -228,149 +379,43 @@ def make_pallas_decoder_infer(cfg: DecoderConfig, B: int, T_in: int,
     if not supports_config(cfg):
         raise ValueError("decoder config not supported by the kernel")
     pl, pltpu = _pl()
-    ap = cfg.attention_params
     S = cfg.max_decoder_steps
     MR = cfg.n_mel_channels * cfg.n_frames_per_step
-    E = cfg.encoder_embedding_dim
     H = cfg.attention_rnn_dim
     Hd = cfg.decoder_rnn_dim
-    A = ap["attention_dim"]
-    K = ap.get("attention_location_kernel_size", 31)
-    pad_l = (K - 1) // 2
-    loc_att = ap.get("location_attention", True)
-    fwd = ap.get("forward_attn", True)
-    tagent = ap.get("trans_agent", True)
-    norm = ap.get("norm", "softmax")
-    mask_energies = ap.get("mask_energies", False)
+    E = cfg.encoder_embedding_dim
 
     def kernel(enc_ref, pin_ref, mask_ref, pre_ref, *refs):
         w = dict(zip(_W_NAMES, refs[:len(_W_NAMES)]))
         (mels_ref, gates_ref, aligns_ref, ml_ref, ns_ref) = (
             refs[len(_W_NAMES): len(_W_NAMES) + 5]
         )
+        scratch = refs[len(_W_NAMES) + 5:]
         (ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref, cum_ref,
-         alpha_ref, u_ref, din_ref, nf_ref, mlen_ref) = (
-            refs[len(_W_NAMES) + 5:]
-        )
+         alpha_ref, u_ref, din_ref, nf_ref, mlen_ref) = scratch
 
         # ---- buffer/state init (reference: decoder.py:430-443 +
         #      attention.py:init_attn_state)
         mels_ref[:] = jnp.zeros_like(mels_ref)
         gates_ref[:] = jnp.full_like(gates_ref, 1e3)
         aligns_ref[:] = jnp.zeros_like(aligns_ref)
-        ah_ref[:] = jnp.zeros_like(ah_ref)
-        ac_ref[:] = jnp.zeros_like(ac_ref)
-        dh_ref[:] = jnp.zeros_like(dh_ref)
-        dc_ref[:] = jnp.zeros_like(dc_ref)
-        ctx_ref[:] = jnp.zeros_like(ctx_ref)
-        aw_ref[:] = jnp.zeros_like(aw_ref)
-        cum_ref[:] = jnp.zeros_like(cum_ref)
+        for ref in (ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref,
+                    cum_ref, din_ref):
+            ref[:] = jnp.zeros_like(ref)
         pos_t = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
         alpha_ref[:] = jnp.where(pos_t == 0, 1.0, 1e-7)
         u_ref[:] = jnp.full_like(u_ref, 0.5)
-        din_ref[:] = jnp.zeros_like(din_ref)
         nf_ref[:] = jnp.ones_like(nf_ref)
         mlen_ref[:] = jnp.zeros_like(mlen_ref)
 
+        step = _bind_step(
+            cfg, B, T_in, w, enc_ref, pin_ref, mask_ref, pre_ref,
+            mels_ref, gates_ref, aligns_ref, *scratch,
+        )
+
         def body(carry):
             t, _alive = carry
-            # prenet with the exact precomputed dropout masks
-            pm = pre_ref[t].astype(jnp.float32)       # (2, B, P)
-            x = jax.nn.relu(_dot(din_ref[:], w["pre1"][:])) * pm[0]
-            x = jax.nn.relu(_dot(x, w["pre2"][:])) * pm[1]
-            # attention LSTM (input = [prenet, context], split matmuls)
-            ctx = ctx_ref[:]
-            g4 = (
-                _dot(x, w["att_ih_p"][:]) + _dot(ctx, w["att_ih_c"][:])
-                + _dot(ah_ref[:], w["att_hh"][:]) + w["att_b"][:]
-            )
-            ah, ac = _lstm(g4, ah_ref[:], ac_ref[:])
-            ah_ref[:] = ah
-            ac_ref[:] = ac
-            # ---- attention
-            pq = _dot(ah, w["q_w"][:])                 # (B, A)
-            if loc_att:
-                zpad = jnp.zeros((B, pad_l), jnp.float32)
-                cat_p = jnp.concatenate([zpad, aw_ref[:], zpad], axis=1)
-                cat_c = jnp.concatenate([zpad, cum_ref[:], zpad], axis=1)
-                wp = w["loc_prev"][:].astype(jnp.float32)  # (K, F)
-                wc = w["loc_cum"][:].astype(jnp.float32)
-                loc = jnp.zeros((B, T_in, wp.shape[1]), jnp.float32)
-                for k in range(K):                     # static unroll
-                    loc = loc + (
-                        cat_p[:, k: k + T_in, None] * wp[k][None, None, :]
-                        + cat_c[:, k: k + T_in, None] * wc[k][None, None, :]
-                    )
-                ploc = jax.lax.dot_general(
-                    loc.astype(w["loc_dense"].dtype), w["loc_dense"][:],
-                    (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                      # (B, T, A)
-                pre_tanh = pq[:, None, :] + ploc + pin_ref[:].astype(
-                    jnp.float32
-                )
-            else:
-                pre_tanh = pq[:, None, :] + pin_ref[:].astype(jnp.float32)
-            vv = w["v_w"][:].astype(jnp.float32)       # (1, A)
-            e = jnp.sum(
-                jnp.tanh(pre_tanh) * vv[None, :, :], axis=-1
-            ) + w["v_b"][0, 0]                         # (B, T)
-            if mask_energies:
-                e = jnp.where(mask_ref[:] > 0, e, MASK_VALUE)
-            if norm == "softmax":
-                align = jax.nn.softmax(e, axis=-1)
-            else:
-                sg = jax.nn.sigmoid(e)
-                align = sg / jnp.sum(sg, axis=1, keepdims=True)
-            if loc_att:
-                cum_ref[:] = cum_ref[:] + align
-            if fwd:
-                alpha = alpha_ref[:]
-                shifted = jnp.concatenate(
-                    [jnp.zeros((B, 1), jnp.float32), alpha[:, :-1]], axis=1
-                )
-                u = u_ref[:, :1]
-                a = ((1.0 - u) * alpha + u * shifted + 1e-8) * align
-                align = a / jnp.sum(a, axis=1, keepdims=True)
-                alpha_ref[:] = align
-            aw_ref[:] = align
-            ctx = jnp.sum(
-                align[:, :, None] * enc_ref[:].astype(jnp.float32), axis=1
-            )                                          # (B, E)
-            ctx_ref[:] = ctx
-            if fwd and tagent:
-                u_new = jax.nn.sigmoid(
-                    _dot(ctx, w["ta_c"][:]) + _dot(ah, w["ta_q"][:])
-                    + w["ta_b"][:]
-                )                                      # (B, 1)
-                u_ref[:, :1] = u_new
-            # decoder LSTM (input = [attn_h, context])
-            g4 = (
-                _dot(ah, w["dec_ih_h"][:]) + _dot(ctx, w["dec_ih_c"][:])
-                + _dot(dh_ref[:], w["dec_hh"][:]) + w["dec_b"][:]
-            )
-            dh, dc = _lstm(g4, dh_ref[:], dc_ref[:])
-            dh_ref[:] = dh
-            dc_ref[:] = dc
-            mel = (
-                _dot(dh, w["proj_h"][:]) + _dot(ctx, w["proj_c"][:])
-                + w["proj_b"][:]
-            )                                          # (B, MR)
-            gate = (
-                _dot(dh, w["gate_h"][:]) + _dot(ctx, w["gate_c"][:])
-                + w["gate_b"][:]
-            )[:, 0]                                    # (B,)
-            dec = (
-                jax.nn.sigmoid(gate) <= cfg.gate_threshold
-            ).astype(jnp.float32)
-            nf = nf_ref[:, 0] * dec
-            nf_ref[:, 0] = nf
-            mlen_ref[:, 0] = mlen_ref[:, 0] + nf.astype(jnp.int32)
-            mels_ref[t] = mel
-            gates_ref[t, :] = gate
-            aligns_ref[t] = align
-            din_ref[:] = mel
-            return t + 1, jnp.sum(nf).astype(jnp.int32)
+            return t + 1, step(t)
 
         def cond(carry):
             t, alive = carry
@@ -403,26 +448,116 @@ def make_pallas_decoder_infer(cfg: DecoderConfig, B: int, T_in: int,
                 jax.ShapeDtypeStruct((1, B), jnp.int32),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((B, H), jnp.float32),       # attention h
-                pltpu.VMEM((B, H), jnp.float32),       # attention c
-                pltpu.VMEM((B, Hd), jnp.float32),      # decoder h
-                pltpu.VMEM((B, Hd), jnp.float32),      # decoder c
-                pltpu.VMEM((B, E), jnp.float32),       # context
-                pltpu.VMEM((B, T_in), jnp.float32),    # attention weights
-                pltpu.VMEM((B, T_in), jnp.float32),    # cumulative weights
-                pltpu.VMEM((B, T_in), jnp.float32),    # forward alpha
-                pltpu.VMEM((B, 8), jnp.float32),       # transition agent u
-                pltpu.VMEM((B, MR), jnp.float32),      # AR decoder input
-                pltpu.VMEM((B, 8), jnp.float32),       # not_finished
-                pltpu.VMEM((B, 8), jnp.int32),         # mel_lengths
-            ],
+            scratch_shapes=_scratch_shapes(cfg, B, T_in),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(
             enc, pinputs, maskf, pre_masks,
+            *[w[k] for k in _W_NAMES],
+        )
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Streaming segment kernel
+# --------------------------------------------------------------------------
+
+def make_pallas_decoder_segment(cfg: DecoderConfig, B: int, T_in: int,
+                                n_seg: int, interpret: bool = False):
+    """Build ``run(w, enc, pinputs, maskf, pre_masks, *state_in) ->
+    (mels (n_seg,B,MR), gates (n_seg,B), aligns (n_seg,B,T), nf (1,B),
+    mlen (1,B), *state_out)`` — ``n_seg`` fixed decoder steps from a
+    carried state, the Pallas analogue of
+    ``decoder.decoder_infer_segment`` (same ``_bind_step`` math as the
+    whole-loop kernel, so chaining segments reproduces it).  State
+    arrays, in order: din (B,MR), ah/ac (B,H), dh/dc (B,Hd), ctx (B,E),
+    aw/cum/alpha (B,T), u (B,1)."""
+    if not supports_config(cfg):
+        raise ValueError("decoder config not supported by the kernel")
+    pl, pltpu = _pl()
+    MR = cfg.n_mel_channels * cfg.n_frames_per_step
+    H = cfg.attention_rnn_dim
+    Hd = cfg.decoder_rnn_dim
+    E = cfg.encoder_embedding_dim
+    st_shapes = (
+        (B, MR), (B, H), (B, H), (B, Hd), (B, Hd), (B, E),
+        (B, T_in), (B, T_in), (B, T_in), (B, 1),
+    )
+    n_st = len(st_shapes)
+
+    def kernel(enc_ref, pin_ref, mask_ref, pre_ref, nf_in, mlen_in,
+               *refs):
+        st_in = refs[:n_st]
+        w = dict(zip(_W_NAMES, refs[n_st: n_st + len(_W_NAMES)]))
+        outs = refs[n_st + len(_W_NAMES):]
+        mels_ref, gates_ref, aligns_ref, nf_out, mlen_out = outs[:5]
+        st_out = outs[5: 5 + n_st]
+        scratch = outs[5 + n_st:]
+        (ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref, cum_ref,
+         alpha_ref, u_ref, din_ref, nf_ref, mlen_ref) = scratch
+
+        # load the carried state into the step scratch (din, ah, ac,
+        # dh, dc, ctx, aw, cum, alpha, u order per st_shapes)
+        for ref, src in zip(
+            (din_ref, ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref,
+             cum_ref, alpha_ref),
+            st_in[:9],
+        ):
+            ref[:] = src[:]
+        u_ref[:, :1] = st_in[9][:]
+        nf_ref[:, :1] = nf_in[:].astype(jnp.float32)   # (B, 1) i32 in
+        mlen_ref[:, :1] = mlen_in[:]
+
+        step = _bind_step(
+            cfg, B, T_in, w, enc_ref, pin_ref, mask_ref, pre_ref,
+            mels_ref, gates_ref, aligns_ref, *scratch,
+        )
+
+        def body(i, _):
+            step(i)
+            return 0
+
+        jax.lax.fori_loop(0, n_seg, body, 0)
+
+        for dst, ref in zip(
+            st_out,
+            (din_ref, ah_ref, ac_ref, dh_ref, dc_ref, ctx_ref, aw_ref,
+             cum_ref, alpha_ref),
+        ):
+            dst[:] = ref[:]
+        st_out[9][:] = u_ref[:, :1]
+        nf_out[:] = nf_ref[:, :1].astype(jnp.int32)
+        mlen_out[:] = mlen_ref[:, :1]
+
+    def whole():
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(w: dict, enc, pinputs, maskf, pre_masks, nf, mlen, *state):
+        n_in = 6 + n_st + len(_W_NAMES)
+        n_out = 5 + n_st
+        return pl.pallas_call(
+            kernel,
+            in_specs=[whole()] * n_in,
+            out_specs=tuple(whole() for _ in range(n_out)),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_seg, B, MR), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_seg, B, T_in), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            ) + tuple(
+                jax.ShapeDtypeStruct(s, jnp.float32) for s in st_shapes
+            ),
+            scratch_shapes=_scratch_shapes(cfg, B, T_in),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            enc, pinputs, maskf, pre_masks, nf, mlen, *state,
             *[w[k] for k in _W_NAMES],
         )
 
@@ -486,3 +621,89 @@ def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
     gate_outputs = jnp.repeat(jnp.swapaxes(gates, 0, 1), r, axis=1)
     alignments = jnp.swapaxes(aligns, 0, 1)
     return mel_outputs, gate_outputs, alignments, ml[0], ns[0, 0]
+
+
+def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
+                           input_lengths, rng, state: dict, n_seg: int,
+                           *, interpret: bool = False):
+    """Drop-in for :func:`decoder.decoder_infer_segment`: run ``n_seg``
+    AR steps from the carried stream state inside one Pallas kernel.
+    Same returns: ``(new_state, mels (B, n_mel, n_seg·r),
+    gates (B, n_seg), alignments (B, n_seg, T_in))``."""
+    from .attention import AttnState, preprocess_inputs
+    from .decoder import DecoderCarry
+
+    B, T_in, _ = encoder_outputs.shape
+    r = cfg.n_frames_per_step
+    w = split_decoder_params(params, cfg)
+    pinputs = preprocess_inputs(params["attention_layer"], encoder_outputs)
+    maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
+    step0 = state["step"]
+    keep = 1.0 - cfg.p_prenet_dropout
+    P = cfg.prenet_dim
+
+    def step_masks(t):
+        k_step = jax.random.fold_in(rng, t)
+        k_pre, _ = jax.random.split(k_step)
+        return jnp.stack(
+            [
+                jax.random.bernoulli(
+                    jax.random.fold_in(k_pre, i), keep, (B, P)
+                ).astype(jnp.float32)
+                / keep
+                for i in range(2)
+            ],
+            axis=0,
+        )
+
+    pre_masks = jax.vmap(step_masks)(jnp.arange(n_seg) + step0)
+
+    carry: DecoderCarry = state["carry"]
+    ast: AttnState = carry.attn_state
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    st_in = (
+        f32(state["decoder_input"]),
+        f32(carry.attention_hidden), f32(carry.attention_cell),
+        f32(carry.decoder_hidden), f32(carry.decoder_cell),
+        f32(carry.attention_context),
+        f32(ast.attention_weights), f32(ast.attention_weights_cum),
+        f32(ast.alpha), f32(ast.u),
+    )
+    run = make_pallas_decoder_segment(
+        cfg, B, T_in, n_seg, interpret=interpret
+    )
+    outs = run(
+        w, encoder_outputs, pinputs, maskf, pre_masks,
+        state["not_finished"].astype(jnp.int32)[:, None],
+        state["mel_lengths"].astype(jnp.int32)[:, None],
+        *st_in,
+    )
+    mels, gates, aligns, nf, mlen = outs[:5]
+    (din, ah, ac, dh, dc, ctx, aw, cum, alpha, u) = outs[5:]
+    dtype = encoder_outputs.dtype
+    new_state = dict(
+        step=step0 + n_seg,
+        decoder_input=din.astype(dtype),
+        carry=DecoderCarry(
+            attention_hidden=ah.astype(dtype),
+            attention_cell=ac.astype(dtype),
+            decoder_hidden=dh.astype(dtype),
+            decoder_cell=dc.astype(dtype),
+            attention_context=ctx.astype(dtype),
+            attn_state=AttnState(
+                attention_weights=aw.astype(dtype),
+                attention_weights_cum=cum.astype(dtype),
+                alpha=alpha.astype(dtype),
+                u=u.astype(dtype),
+                win_idx=ast.win_idx,
+            ),
+        ),
+        not_finished=nf[:, 0],
+        mel_lengths=mlen[:, 0],
+    )
+    mels = jnp.swapaxes(mels, 0, 1)                 # (B, n_seg, MR)
+    mels = mels.reshape(B, n_seg * r, cfg.n_mel_channels)
+    mels = jnp.swapaxes(mels, 1, 2)
+    gates = jnp.swapaxes(gates, 0, 1)
+    aligns = jnp.swapaxes(aligns, 0, 1)
+    return new_state, mels, gates, aligns

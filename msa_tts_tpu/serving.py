@@ -562,12 +562,15 @@ def synthesize_stream(
     autoregressive, so each chunk is an independent generation — same
     voice/quality, not the offline sample sequence.
 
-    Backend note: streaming always decodes through the XLA segment
-    path (``decoder_infer_segment``) — under ``decode_backend: pallas``
-    the offline :meth:`synthesize` uses the whole-loop kernel, so
-    offline and streamed agree within fp tolerance (compiled-kernel
-    drift ~1e-4 through the AR feedback) rather than bit-exactly; pin
-    ``decode_backend: xla`` when bit-exact offline==streamed matters.
+    Backend note: under ``decode_backend: pallas`` the stream decodes
+    through the segment variant of the whole-loop kernel
+    (models/pallas_decoder.py), which shares the offline kernel's step
+    body — so offline and streamed stay matched per backend.  Separately
+    compiled programs still differ at the fp-noise level (same caveat
+    as the XLA path, whose exactness tests use small tolerances); when
+    the kernel's segment footprint doesn't fit VMEM the stream falls
+    back to the XLA segment path and offline/streamed then agree within
+    fp tolerance rather than bit-exactly.
 
     ``text_pad_multiple`` > 1 quantizes the padded phoneme length
     (masked in the encoder convs/BiLSTM/attention — tacotron2nv.py:
@@ -631,15 +634,38 @@ def synthesize_stream(
 
         self._stream_jits["encpost"] = (jax.jit(enc_fn), jax.jit(post_fn))
     enc_jit, post_jit = self._stream_jits["encpost"]
-    key = ("seg", segment_steps)
+    key = ("seg", segment_steps, self.decode_backend)
     if key not in self._stream_jits:
+        # decode_backend=pallas streams through the segment variant of
+        # the whole-loop kernel (models/pallas_decoder.py — same shared
+        # step body, so segments chain to the offline kernel's decode),
+        # gated on config support + a per-segment VMEM estimate
+        use_pallas_seg = self.decode_backend == "pallas"
+        if use_pallas_seg:
+            from .models.pallas_decoder import fits_vmem, supports_config
+
+            wd = self.model_params["decoder"]["attention_rnn"]["weight_ih"]
+            use_pallas_seg = supports_config(dcfg) and fits_vmem(
+                dcfg._replace(max_decoder_steps=segment_steps),
+                1, int(inputs.shape[1]),
+                jnp.bfloat16 if self._infer_dtype is not None
+                else wd.dtype,
+            )
+
         def seg_fn(p, enc, il, k, st):
             p, _, _ = self._cast_infer(
                 p, {}, jnp.zeros((), jnp.float32)
             )
-            st2, mels, gates, align = decoder_infer_segment(
-                p["decoder"], dcfg, enc, il, k, st, segment_steps
-            )
+            if use_pallas_seg:
+                from .models.pallas_decoder import pallas_decoder_segment
+
+                st2, mels, gates, align = pallas_decoder_segment(
+                    p["decoder"], dcfg, enc, il, k, st, segment_steps
+                )
+            else:
+                st2, mels, gates, align = decoder_infer_segment(
+                    p["decoder"], dcfg, enc, il, k, st, segment_steps
+                )
             return (
                 st2, mels.astype(jnp.float32),
                 gates.astype(jnp.float32), align,

@@ -194,3 +194,85 @@ def test_vmem_gate_falls_back_inside_infer():
         pd._VMEM_BUDGET = old
     for a, b in zip(out, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segment_kernel_chains_like_xla_segments():
+    """Chained pallas segments must reproduce the XLA segment chain
+    (and therefore the offline decode) bit-closely, state included."""
+    from msa_tts_tpu.models.decoder import (
+        decoder_infer_segment, decoder_stream_init,
+    )
+    from msa_tts_tpu.models.pallas_decoder import pallas_decoder_segment
+
+    cfg = _cfg(early_stopping=False, max_decoder_steps=20)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    B, T_in = 2, 9
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, T_in, 24))
+    lens = jnp.asarray([9, 6], jnp.int32)
+    rng = jax.random.PRNGKey(2)
+    st_r = decoder_stream_init(cfg, B, T_in, enc.dtype)
+    st_p = decoder_stream_init(cfg, B, T_in, enc.dtype)
+    for _ in range(3):
+        st_r, m_r, g_r, a_r = decoder_infer_segment(
+            params, cfg, enc, lens, rng, st_r, 5
+        )
+        st_p, m_p, g_p, a_p = pallas_decoder_segment(
+            params, cfg, enc, lens, rng, st_p, 5, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_r),
+                                   atol=3e-6)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                                   atol=3e-6)
+        np.testing.assert_array_equal(
+            np.asarray(st_p["mel_lengths"]), np.asarray(st_r["mel_lengths"])
+        )
+    assert int(st_p["step"]) == int(st_r["step"]) == 15
+
+
+def test_streamed_matches_offline_under_pallas_backend():
+    """With decode_backend='pallas' BOTH endpoints run kernel decodes
+    (offline whole-loop, stream segments sharing its step body) — the
+    streamed mel must match the offline mel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+    from msa_tts_tpu.serving import AdaptiveTTS
+
+    AP = dict(sample_rate=22050, n_fft=512, win_length=512,
+              hop_length=128, f_min=0.0, f_max=8000.0, n_mels=20,
+              griffinlim_iters=4)
+    MODEL = {
+        "mask_padding": False, "n_mel_channels": 20,
+        "n_frames_per_step": 2, "n_symbols": 200,
+        "symbols_embedding_dim": 16, "encoder_n_convolutions": 2,
+        "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+        "speaker_emb_type": "static", "num_speakers": 1,
+        "speaker_embedding_dim": 6, "attention_rnn_dim": 20,
+        "decoder_rnn_dim": 20, "prenet_dim": 12,
+        "max_decoder_steps": 24, "gate_threshold": 0.5,
+        "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+        "decoder_no_early_stopping": True,
+        "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+        "postnet_n_convolutions": 2,
+        "attention_params": dict(BASE_AP),
+    }
+    cfg = config_from_params(dict(MODEL))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    emb = np.random.RandomState(0).randn(6).astype(np.float32)
+    tts = AdaptiveTTS(
+        {"model": dict(MODEL), "audio_params": dict(AP),
+         "decode_backend": "pallas"}, p0, s0,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        offline = np.asarray(
+            tts.synthesize("hello world", vocoder="none", spk_emb=emb)
+        )
+        chunks = list(tts.synthesize_stream(
+            "hello world", vocoder="none", spk_emb=emb,
+            segment_steps=7, chunk_frames=10,
+        ))
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=2e-2)
+    close = np.abs(streamed - offline) < 1e-5
+    assert close.mean() > 0.98
