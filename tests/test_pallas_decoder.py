@@ -77,6 +77,7 @@ def test_parity_attention_variants(ap):
     _parity(_cfg(ap=ap))
 
 
+@pytest.mark.slow
 def test_parity_no_early_stopping_runs_to_cap():
     cfg = _cfg(early_stopping=False, max_decoder_steps=9)
     _parity(cfg)
@@ -88,6 +89,7 @@ def test_unsupported_config_detected():
     assert supports_config(_cfg())
 
 
+@pytest.mark.slow
 def test_serving_decode_backend_parity():
     """AdaptiveTTS with decode_backend='pallas' (interpret mode here)
     must synthesize the same mel as the XLA decoder path."""
@@ -153,6 +155,7 @@ def test_vmem_gate_routes_large_configs_to_xla():
     assert fits_vmem(_cfg(), 3, 11, jnp.float32)
 
 
+@pytest.mark.slow
 def test_vmem_gate_falls_back_inside_infer():
     """tacotron2nv_infer with decoder_backend='pallas' but an
     over-budget footprint must silently produce the XLA result."""
@@ -196,6 +199,7 @@ def test_vmem_gate_falls_back_inside_infer():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_segment_kernel_chains_like_xla_segments():
     """Chained pallas segments must reproduce the XLA segment chain
     (and therefore the offline decode) bit-closely, state included."""
@@ -229,6 +233,7 @@ def test_segment_kernel_chains_like_xla_segments():
     assert int(st_p["step"]) == int(st_r["step"]) == 15
 
 
+@pytest.mark.slow
 def test_streamed_matches_offline_under_pallas_backend():
     """With decode_backend='pallas' BOTH endpoints run kernel decodes
     (offline whole-loop, stream segments sharing its step body) — the

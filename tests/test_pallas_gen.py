@@ -72,6 +72,7 @@ def test_kernel_matches_xla_scan(mode):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_matches_without_aux_net():
     cfg = WaveRNNConfig(use_aux_net=False, **CFG)
     params, _ = init_wavernn(jax.random.PRNGKey(0), cfg)
@@ -86,6 +87,7 @@ def test_kernel_matches_without_aux_net():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generate_batch_backend_parity():
     """End-to-end WaveRNN.generate_batch: the pallas backend (run here
     in interpret mode) must produce the same waveforms as the xla
@@ -113,6 +115,7 @@ def test_generate_batch_backend_parity():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_row_groups_match_single_group():
     """B beyond row_group runs as an extra grid dimension (independent
     AR chains, weights resident across groups) — results must be
