@@ -126,7 +126,32 @@ class AdaptiveTTS:
                 align.astype(jnp.float32),
             )
 
-        self._infer_jit = jax.jit(_infer)
+        # parallel: {dp: N} — shard the batched decode across an ICI
+        # mesh.  Rows are independent (pad-invariant encode, per-row
+        # gates), so shard_map over the batch axis with replicated
+        # weights is exact N-way serving throughput; inside each shard
+        # the decode is the ordinary single-device program (the Pallas
+        # decoder kernel included — shard_map gives it a per-shard
+        # B/dp batch Mosaic can compile).
+        pcfg = params.get("parallel") or {}
+        self._dp = int(pcfg.get("dp", 1))
+        self._infer_jit = jax.jit(_infer)     # single-utterance path
+        self._infer_sharded = None
+        if self._dp > 1:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(dp=self._dp, task=1)
+            self._infer_sharded = jax.jit(
+                shard_map(
+                    _infer, mesh=self._mesh,
+                    in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P()),
+                    out_specs=(P("dp"), P("dp"), P("dp")),
+                    check_rep=False,
+                )
+            )
         # Optional neural vocoders (attach_vocoder); Griffin-Lim needs none.
         self._vocoders: dict = {}
 
@@ -318,6 +343,8 @@ class AdaptiveTTS:
         ]
         B = len(seqs)
         Bp = max(B, pad_batch_to or B)
+        # a dp-sharded decode needs the batch divisible across the mesh
+        Bp = ((Bp + self._dp - 1) // self._dp) * self._dp
         T = max(len(s) for s in seqs)
         m = max(int(text_pad_multiple), 1)
         T = ((T + m - 1) // m) * m
@@ -330,7 +357,8 @@ class AdaptiveTTS:
             inputs[i] = inputs[0]
             in_len[i] = in_len[0]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        mel, mel_len, _ = self._infer_jit(
+        infer = self._infer_sharded or self._infer_jit
+        mel, mel_len, _ = infer(
             params, state, jnp.asarray(inputs), jnp.asarray(in_len),
             jnp.asarray(np.tile(emb[None], (Bp, 1))), rng,
         )

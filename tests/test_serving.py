@@ -3,6 +3,7 @@
 import glob
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -100,3 +101,60 @@ def test_adaptive_tts_end_to_end(tmp_path):
 
     with pytest.raises(ValueError):
         tts.synthesize("x", voice, vocoder="hifigan")  # not attached
+
+
+def test_dp_sharded_batched_synthesis_matches_single_device():
+    """parallel: {dp: N} shards the batched decode over the mesh; with
+    the prenet's stochastic dropout disabled the sharded decode must
+    equal the single-device decode exactly (rows are independent; the
+    weights are replicated)."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+    from msa_tts_tpu.serving import AdaptiveTTS
+
+    AP2 = dict(sample_rate=22050, n_fft=512, win_length=512,
+               hop_length=128, f_min=0.0, f_max=8000.0, n_mels=20,
+               griffinlim_iters=4)
+    MODEL2 = {
+        "mask_padding": False, "n_mel_channels": 20,
+        "n_frames_per_step": 2, "n_symbols": 200,
+        "symbols_embedding_dim": 16, "encoder_n_convolutions": 2,
+        "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+        "speaker_emb_type": "static", "num_speakers": 1,
+        "speaker_embedding_dim": 6, "attention_rnn_dim": 20,
+        "decoder_rnn_dim": 20, "prenet_dim": 12,
+        "p_prenet_dropout": 0.0,          # deterministic for equality
+        "max_decoder_steps": 16, "gate_threshold": 0.5,
+        "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+        "decoder_no_early_stopping": True,
+        "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+        "postnet_n_convolutions": 2,
+        "attention_params": {
+            "attention_type": "ForwardAttention", "attention_dim": 16,
+            "attention_location_n_filters": 8,
+            "attention_location_kernel_size": 15, "windowing": False,
+            "norm": "softmax", "forward_attn": True,
+            "trans_agent": True, "forward_attn_mask": False,
+        },
+    }
+    cfg = config_from_params(dict(MODEL2))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    emb = np.random.RandomState(0).randn(6).astype(np.float32)
+    base = {"model": dict(MODEL2), "audio_params": dict(AP2)}
+    texts = ["hello there", "hi", "one more line", "short", "and a fifth"]
+    kw = dict(spk_emb=emb, vocoder="none", rng=jax.random.PRNGKey(7),
+              text_pad_multiple=8)
+
+    tts1 = AdaptiveTTS(dict(base), p0, s0)
+    ref = tts1.synthesize_batch(list(texts), **kw)
+
+    tts4 = AdaptiveTTS(dict(base, parallel={"dp": 4}), p0, s0)
+    assert tts4._infer_sharded is not None
+    out = tts4.synthesize_batch(list(texts), **kw)   # B=5 → padded to 8
+    assert len(out) == len(ref) == 5
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # the single-utterance path stays on the unsharded jit
+    one = np.asarray(tts4.synthesize("hello there", vocoder="none",
+                                     spk_emb=emb))
+    assert np.isfinite(one).all()
