@@ -281,3 +281,51 @@ def test_streamed_matches_offline_under_pallas_backend():
     np.testing.assert_allclose(streamed, offline, atol=2e-2)
     close = np.abs(streamed - offline) < 1e-5
     assert close.mean() > 0.98
+
+
+@pytest.mark.slow
+def test_pallas_decode_pad_invariance():
+    """Serving buckets text lengths, so the kernel must produce the
+    same mel for the same text at different padded T_in (mask_pad
+    zeroes the encoder conv outputs past the true length; attention
+    then sees identical inputs up to padding columns)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from msa_tts_tpu.models import (
+        config_from_params, init_tacotron2nv, tacotron2nv_infer,
+    )
+
+    MODEL = {
+        "mask_padding": False, "n_mel_channels": 10,
+        "n_frames_per_step": 2, "n_symbols": 40,
+        "symbols_embedding_dim": 16, "encoder_n_convolutions": 1,
+        "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+        "speaker_emb_type": "static", "num_speakers": 1,
+        "speaker_embedding_dim": 8, "attention_rnn_dim": 20,
+        "decoder_rnn_dim": 20, "prenet_dim": 12,
+        "max_decoder_steps": 12, "gate_threshold": 0.5,
+        "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+        "decoder_no_early_stopping": True,
+        "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+        "postnet_n_convolutions": 2,
+        "attention_params": dict(BASE_AP, mask_energies=True),
+    }
+    cfg = config_from_params(dict(MODEL))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    seq = np.arange(1, 8, dtype=np.int32)
+    sv = jnp.zeros((1, 8))
+    rng = jax.random.PRNGKey(1)
+    outs = []
+    with pltpu.force_tpu_interpret_mode():
+        for T_pad in (8, 16):
+            inputs = np.zeros((1, T_pad), np.int32)
+            inputs[0, : len(seq)] = seq
+            mel, ml, _ = tacotron2nv_infer(
+                p0, s0, cfg, jnp.asarray(inputs),
+                jnp.asarray([len(seq)], jnp.int32), sv, rng,
+                mask_pad=True, decoder_backend="pallas",
+            )
+            outs.append((np.asarray(mel), int(np.asarray(ml)[0])))
+    (m8, l8), (m16, l16) = outs
+    assert l8 == l16
+    np.testing.assert_allclose(m8, m16, atol=5e-5)
