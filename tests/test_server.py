@@ -474,3 +474,42 @@ def test_encode_wav_clips_like_streaming(tts):
     np.testing.assert_allclose(
         pcm, np.clip(loud, -1.0, 1.0), atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_http_with_wavernn_vocoder(tts):
+    """POST /synthesize with an attached WaveRNN routes through the
+    batcher's (voice, vocoder) grouping and returns real audio; the
+    vocoder also joins servable_vocoders (so it passes validation)."""
+    from msa_tts_tpu.vocoders.wavernn import WaveRNN, WaveRNNConfig
+
+    ap = tts.params["audio_params"]
+    voc = WaveRNN(
+        cfg=WaveRNNConfig(
+            n_mels=ap["n_mels"], rnn_dims=32, fc_dims=32,
+            compute_dims=16, res_out_dims=16, res_blocks=1,
+            hop_length=ap["hop_length"], sample_rate=ap["sample_rate"],
+            pad=2, upsample_factors=(2, 2, ap["hop_length"] // 4),
+        ),
+        rng=jax.random.PRNGKey(0), gen_backend="xla",
+    )
+    server = TTSServer(
+        tts, default_spk_emb=np.zeros(SPK_DIM, np.float32),
+        window_ms=5.0,
+    )
+    tts.attach_vocoder("wavernn", voc)
+    assert "wavernn" in server.servable_vocoders()
+    port = server.start()
+    try:
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize",
+            data=json.dumps({"text": "hi", "vocoder": "wavernn"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(rq, timeout=600) as r:
+            assert r.status == 200
+            body = r.read()
+        # random-init gate fires at step 1 → short-but-real audio
+        assert body[:4] == b"RIFF" and len(body) > 100
+    finally:
+        server.stop()
