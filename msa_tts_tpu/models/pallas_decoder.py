@@ -568,12 +568,15 @@ def make_pallas_decoder_segment(cfg: DecoderConfig, B: int, T_in: int,
 # decoder_infer-compatible wrapper
 # --------------------------------------------------------------------------
 
-def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int):
-    """The prenet dropout masks ``decoder._infer_step`` would draw, for
-    every step up front: mask/keep multipliers (0 or 1/keep — exactly
-    representable, so the kernel multiplies where the XLA path selects),
-    using the same fold_in(rng, step) → split → fold_in(k_pre, layer)
-    schedule, which is what makes kernel/XLA outputs bit-comparable."""
+def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int, start=0):
+    """The prenet dropout masks ``decoder._infer_step`` would draw for
+    steps [start, start+S), up front: mask/keep multipliers (0 or
+    1/keep — exactly representable, so the kernel multiplies where the
+    XLA path selects), using the same fold_in(rng, step) → split →
+    fold_in(k_pre, layer) schedule, which is what makes kernel/XLA
+    outputs bit-comparable.  The ONE implementation serves both the
+    whole-loop and segment wrappers — the shared key schedule IS the
+    offline==streamed contract."""
     keep = 1.0 - cfg.p_prenet_dropout
     P = cfg.prenet_dim
 
@@ -591,7 +594,7 @@ def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int):
             axis=0,
         )
 
-    return jax.vmap(step_masks)(jnp.arange(S))        # (S, 2, B, P)
+    return jax.vmap(step_masks)(jnp.arange(S) + start)  # (S, 2, B, P)
 
 
 def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
@@ -639,24 +642,7 @@ def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
     pinputs = preprocess_inputs(params["attention_layer"], encoder_outputs)
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     step0 = state["step"]
-    keep = 1.0 - cfg.p_prenet_dropout
-    P = cfg.prenet_dim
-
-    def step_masks(t):
-        k_step = jax.random.fold_in(rng, t)
-        k_pre, _ = jax.random.split(k_step)
-        return jnp.stack(
-            [
-                jax.random.bernoulli(
-                    jax.random.fold_in(k_pre, i), keep, (B, P)
-                ).astype(jnp.float32)
-                / keep
-                for i in range(2)
-            ],
-            axis=0,
-        )
-
-    pre_masks = jax.vmap(step_masks)(jnp.arange(n_seg) + step0)
+    pre_masks = _prenet_masks(cfg, rng, n_seg, B, start=step0)
 
     carry: DecoderCarry = state["carry"]
     ast: AttnState = carry.attn_state
@@ -680,21 +666,25 @@ def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
     )
     mels, gates, aligns, nf, mlen = outs[:5]
     (din, ah, ac, dh, dc, ctx, aw, cum, alpha, u) = outs[5:]
-    dtype = encoder_outputs.dtype
+    # State stays f32 between segments regardless of the encoder/weight
+    # dtype: the offline whole-loop kernel carries f32 VMEM state for
+    # every step, and truncating the LSTM cells to bf16 at each segment
+    # boundary would compound through the AR feedback (and could flip
+    # near-threshold gates, changing the streamed length vs offline).
     new_state = dict(
         step=step0 + n_seg,
-        decoder_input=din.astype(dtype),
+        decoder_input=din,
         carry=DecoderCarry(
-            attention_hidden=ah.astype(dtype),
-            attention_cell=ac.astype(dtype),
-            decoder_hidden=dh.astype(dtype),
-            decoder_cell=dc.astype(dtype),
-            attention_context=ctx.astype(dtype),
+            attention_hidden=ah,
+            attention_cell=ac,
+            decoder_hidden=dh,
+            decoder_cell=dc,
+            attention_context=ctx,
             attn_state=AttnState(
-                attention_weights=aw.astype(dtype),
-                attention_weights_cum=cum.astype(dtype),
-                alpha=alpha.astype(dtype),
-                u=u.astype(dtype),
+                attention_weights=aw,
+                attention_weights_cum=cum,
+                alpha=alpha,
+                u=u,
                 win_idx=ast.win_idx,
             ),
         ),

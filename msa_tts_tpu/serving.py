@@ -144,9 +144,20 @@ class AdaptiveTTS:
             from .parallel.mesh import make_mesh
 
             self._mesh = make_mesh(dp=self._dp, task=1)
+
+            def _infer_shard(p, s, i, il, sv, rng):
+                # fold the shard index into the key: the prenet's
+                # always-on dropout would otherwise draw byte-identical
+                # noise in every shard (the rng is replicated), making
+                # same-local-index rows of different shards correlated
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index("dp")
+                )
+                return _infer(p, s, i, il, sv, rng)
+
             self._infer_sharded = jax.jit(
                 shard_map(
-                    _infer, mesh=self._mesh,
+                    _infer_shard, mesh=self._mesh,
                     in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P()),
                     out_specs=(P("dp"), P("dp"), P("dp")),
                     check_rep=False,
@@ -666,25 +677,29 @@ def synthesize_stream(
     if key not in self._stream_jits:
         # decode_backend=pallas streams through the segment variant of
         # the whole-loop kernel (models/pallas_decoder.py — same shared
-        # step body, so segments chain to the offline kernel's decode),
-        # gated on config support + a per-segment VMEM estimate
-        use_pallas_seg = self.decode_backend == "pallas"
-        if use_pallas_seg:
-            from .models.pallas_decoder import fits_vmem, supports_config
-
-            wd = self.model_params["decoder"]["attention_rnn"]["weight_ih"]
-            use_pallas_seg = supports_config(dcfg) and fits_vmem(
-                dcfg._replace(max_decoder_steps=segment_steps),
-                1, int(inputs.shape[1]),
-                jnp.bfloat16 if self._infer_dtype is not None
-                else wd.dtype,
-            )
+        # step body, so segments chain to the offline kernel's decode).
+        # The gate is decided at TRACE time from the traced encoder
+        # shape (jax.jit retraces per padded text length), so every
+        # length gets its own correct pallas/XLA decision — a decision
+        # frozen at closure build would reuse the first call's T_in.
+        want_pallas_seg = self.decode_backend == "pallas"
 
         def seg_fn(p, enc, il, k, st):
             p, _, _ = self._cast_infer(
                 p, {}, jnp.zeros((), jnp.float32)
             )
-            if use_pallas_seg:
+            use_pallas = want_pallas_seg
+            if use_pallas:
+                from .models.pallas_decoder import (
+                    fits_vmem, supports_config,
+                )
+
+                use_pallas = supports_config(dcfg) and fits_vmem(
+                    dcfg._replace(max_decoder_steps=segment_steps),
+                    int(enc.shape[0]), int(enc.shape[1]),
+                    p["decoder"]["attention_rnn"]["weight_ih"].dtype,
+                )
+            if use_pallas:
                 from .models.pallas_decoder import pallas_decoder_segment
 
                 st2, mels, gates, align = pallas_decoder_segment(
