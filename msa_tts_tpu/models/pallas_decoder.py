@@ -51,11 +51,30 @@ def _pl():
 def supports_config(cfg: DecoderConfig) -> bool:
     """True when the kernel lowers this decoder configuration."""
     ap = cfg.attention_params
+    if ap.get("attention_type") == "LSA":
+        return True      # fixed-spec LSA (attention.py:lsa_attention)
     return (
         ap.get("attention_type") == "ForwardAttention"
         and not ap.get("windowing", False)
         and not ap.get("forward_attn_mask", False)
         and ap.get("norm", "softmax") in ("softmax", "sigmoid")
+    )
+
+
+def _attn_flags(ap: dict):
+    """The step's static attention switches.  LSA (the reference's
+    NVIDIA-style variant, fixed per attention.py) is the same dataflow
+    as ForwardAttention with the recursion/agent off, masked energies
+    and softmax norm — one kernel body serves both."""
+    if ap.get("attention_type") == "LSA":
+        return dict(loc_att=True, fwd=False, tagent=False,
+                    norm="softmax", mask_energies=True)
+    return dict(
+        loc_att=ap.get("location_attention", True),
+        fwd=ap.get("forward_attn", True),
+        tagent=ap.get("trans_agent", True),
+        norm=ap.get("norm", "softmax"),
+        mask_energies=ap.get("mask_energies", False),
     )
 
 
@@ -145,7 +164,11 @@ def split_decoder_params(params, cfg: DecoderConfig):
         ),
         "q_w": t(att["query_layer"]["weight"]),        # (H, A)
         "v_w": b(att["v"]["weight"]),                  # (1, A) row
-        "v_b": b(att["v"]["bias"]),                    # (1, 1)
+        # LSA's v has no bias (init_lsa) — the kernel adds a zero
+        "v_b": (
+            b(att["v"]["bias"]) if "bias" in att["v"]
+            else jnp.zeros((1, 1), jnp.float32)
+        ),
         "dec_ih_h": d_ih[:H],
         "dec_ih_c": d_ih[H:],
         "dec_hh": t(params["decoder_rnn"]["weight_hh"]),
@@ -233,11 +256,11 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
     ap = cfg.attention_params
     K = ap.get("attention_location_kernel_size", 31)
     pad_l = (K - 1) // 2
-    loc_att = ap.get("location_attention", True)
-    fwd = ap.get("forward_attn", True)
-    tagent = ap.get("trans_agent", True)
-    norm = ap.get("norm", "softmax")
-    mask_energies = ap.get("mask_energies", False)
+    flags = _attn_flags(ap)
+    loc_att, fwd, tagent = (
+        flags["loc_att"], flags["fwd"], flags["tagent"],
+    )
+    norm, mask_energies = flags["norm"], flags["mask_energies"]
 
     def step(t):
         # prenet with the exact precomputed dropout masks
@@ -568,6 +591,18 @@ def make_pallas_decoder_segment(cfg: DecoderConfig, B: int, T_in: int,
 # decoder_infer-compatible wrapper
 # --------------------------------------------------------------------------
 
+def _preprocess(params, cfg: DecoderConfig, encoder_outputs):
+    """The hoisted encoder projection — ForwardAttention's inputs_layer
+    or LSA's memory_layer (attention.py:preprocess_inputs[_lsa])."""
+    from .attention import preprocess_inputs, preprocess_inputs_lsa
+
+    if cfg.attention_params.get("attention_type") == "LSA":
+        return preprocess_inputs_lsa(
+            params["attention_layer"], encoder_outputs
+        )
+    return preprocess_inputs(params["attention_layer"], encoder_outputs)
+
+
 def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int, start=0):
     """The prenet dropout masks ``decoder._infer_step`` would draw for
     steps [start, start+S), up front: mask/keep multipliers (0 or
@@ -603,15 +638,11 @@ def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
     the whole AR loop in one Pallas kernel.  Same returns:
     ``(mel_outputs (B, n_mel, S·r), gate_outputs (B, S·r), alignments
     (B, S, T_in), mel_lengths (B,), n_steps)``."""
-    from .attention import preprocess_inputs
-
     B, T_in, _ = encoder_outputs.shape
     r = cfg.n_frames_per_step
     S = cfg.max_decoder_steps
     w = split_decoder_params(params, cfg)
-    pinputs = preprocess_inputs(
-        params["attention_layer"], encoder_outputs
-    )
+    pinputs = _preprocess(params, cfg, encoder_outputs)
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     pre_masks = _prenet_masks(cfg, rng, S, B)
     run = make_pallas_decoder_infer(cfg, B, T_in, interpret=interpret)
@@ -633,13 +664,13 @@ def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
     AR steps from the carried stream state inside one Pallas kernel.
     Same returns: ``(new_state, mels (B, n_mel, n_seg·r),
     gates (B, n_seg), alignments (B, n_seg, T_in))``."""
-    from .attention import AttnState, preprocess_inputs
+    from .attention import AttnState
     from .decoder import DecoderCarry
 
     B, T_in, _ = encoder_outputs.shape
     r = cfg.n_frames_per_step
     w = split_decoder_params(params, cfg)
-    pinputs = preprocess_inputs(params["attention_layer"], encoder_outputs)
+    pinputs = _preprocess(params, cfg, encoder_outputs)
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     step0 = state["step"]
     pre_masks = _prenet_masks(cfg, rng, n_seg, B, start=step0)

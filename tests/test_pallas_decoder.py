@@ -329,3 +329,9 @@ def test_pallas_decode_pad_invariance():
     (m8, l8), (m16, l16) = outs
     assert l8 == l16
     np.testing.assert_allclose(m8, m16, atol=5e-5)
+
+
+def test_parity_lsa_attention():
+    """LSA decodes through the same kernel body (recursion/agent off,
+    masked energies) — parity vs the XLA lsa_attention path."""
+    _parity(_cfg(ap={"attention_type": "LSA"}))
