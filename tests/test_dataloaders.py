@@ -161,3 +161,43 @@ def test_prefetch_to_device_preserves_order():
     # size larger than the stream also works
     out2 = list(prefetch_to_device(iter(items[:2]), size=5))
     assert len(out2) == 2
+
+
+def test_prefetch_threaded_abandonment_and_errors():
+    """The threaded producer must stop when the consumer abandons the
+    iterator early (preemption path — no hung thread, no further
+    pulls), and must propagate producer exceptions."""
+    import threading
+    import time
+
+    from msa_tts_tpu.dataloaders.prefetch import prefetch_to_device
+
+    pulled = []
+
+    def src():
+        for i in range(100):
+            pulled.append(i)
+            yield {"x": np.full((2,), i)}
+
+    it = prefetch_to_device(src(), size=2)
+    got = [next(it) for _ in range(3)]
+    assert [int(g["x"][0]) for g in got] == [0, 1, 2]
+    it.close()          # consumer abandons (e.g. SIGTERM break)
+    time.sleep(0.6)     # give the producer time to notice the stop
+    n_after = len(pulled)
+    time.sleep(0.4)
+    assert len(pulled) == n_after          # producer stopped pulling
+    assert len(pulled) <= 3 + 2 + 2        # bounded look-ahead
+    assert not any(
+        t.name == "prefetch_to_device" and t.is_alive()
+        for t in threading.enumerate()
+    )
+
+    def bad():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("loader exploded")
+
+    it2 = prefetch_to_device(bad(), size=2)
+    next(it2)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it2)
