@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .attention import MASK_VALUE
 from .decoder import DecoderConfig

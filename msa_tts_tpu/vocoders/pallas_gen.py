@@ -33,8 +33,6 @@ modules.py:149-257 (MoL sampling) — re-derived, not ported.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
