@@ -504,10 +504,19 @@ def _make_handler(server: TTSServer):
                 g2p_backend = getattr(
                     server.tts.g2p, "backend_name", "unknown"
                 )
+                voc_backends = {
+                    name: getattr(v, "gen_backend", "xla")
+                    for name, v in server.tts._vocoders.items()
+                }
                 self._send_json(200, {
                     "status": "ok",
                     "g2p_backend": g2p_backend,
                     "g2p_degraded": g2p_backend == "fallback",
+                    # which compute paths serve this deployment: the
+                    # whole-loop Pallas kernels on TPU, XLA elsewhere
+                    "decode_backend": server.tts.decode_backend,
+                    "vocoder_backends": voc_backends,
+                    "dp": getattr(server.tts, "_dp", 1),
                 })
             elif self.path == "/stats":
                 self._send_json(200, server.stats.snapshot())

@@ -146,6 +146,10 @@ def test_http_server_end_to_end(tts):
             assert health["g2p_degraded"] == (
                 health["g2p_backend"] == "fallback"
             )
+            # active compute paths are part of the health surface
+            assert health["decode_backend"] in ("xla", "pallas")
+            assert health["dp"] >= 1
+            assert isinstance(health["vocoder_backends"], dict)
 
         req = urllib.request.Request(
             base + "/synthesize",
