@@ -482,8 +482,40 @@ def _flag_value(name: str):
     return None
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard deadline: a
+    wedged device relay hangs any in-process jax call indefinitely
+    (observed mid-round-3: a crashed remote compile took the axon
+    tunnel down), and a bench that hangs is worse than a bench that
+    reports the outage."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np;"
+        "np.asarray(jax.jit(lambda x: x * 2)(jax.numpy.ones((8, 8))));"
+        "print('ok')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=timeout_s,
+        )
+        return b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
+
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "meta_train_mel_frames_per_sec",
+            "value": None,
+            "unit": "frames/s",
+            "error": "accelerator unreachable (device probe timed out)",
+        }))
+        sys.exit(1)
 
     enable_compilation_cache()
     k, s = _flag_value("--k"), _flag_value("--s")
