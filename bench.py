@@ -508,7 +508,9 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
 def main():
     from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
 
-    if not _device_reachable():
+    # --measure-baseline is a pure torch-CPU measurement: it must keep
+    # working during exactly the accelerator outage the probe exists for
+    if "--measure-baseline" not in sys.argv and not _device_reachable():
         print(json.dumps({
             "metric": "meta_train_mel_frames_per_sec",
             "value": None,

@@ -57,6 +57,19 @@ class AdaptiveTTS:
         mp.setdefault("n_mel_channels", params["audio_params"]["n_mels"])
         mp.setdefault("n_symbols", N_SYMBOLS)
         mp.setdefault("num_speakers", 1)
+        # Serving pads and co-batches requests, so its exactness
+        # contract (batched == single == streamed, independent of the
+        # bucket and of co-batched requests) needs attention-energy
+        # masking on top of mask_pad below: with mask_energies=False
+        # (the training-side reference-parity default — the reference
+        # comments the mask out, forward_attn.py:193-194) padded text
+        # columns receive softmax mass and a request's mel would change
+        # with its batch.  Masking is a no-op on unpadded rows, so this
+        # IS the reference's single-utterance inference semantic; an
+        # explicit attention_params.mask_energies still wins.
+        ap = dict(mp.get("attention_params") or {})
+        ap.setdefault("mask_energies", True)
+        mp["attention_params"] = ap
         self.cfg = config_from_params(mp)
         self.model_params = model_params
         self.model_state = model_state
@@ -747,18 +760,20 @@ def synthesize_stream(
                 if mel is not None and mel.shape[-1]:
                     yield mel
     else:
-        if vocoder == "griffinlim" and vocode_ctx_frames < 1:
-            # the jitted Griffin-Lim returns (W-1)·hop samples for a
-            # W-frame window (centered-istft tail trim, _vocode above);
-            # with zero context every non-final chunk would silently
-            # come up one hop short
+        if vocoder in ("griffinlim", "wavernn") and vocode_ctx_frames < 1:
+            # Griffin-Lim (centered-istft tail trim) and WaveRNN
+            # (generate_batch returns (W-1)·hop samples for a W-frame
+            # window) both come up one hop short per window; with zero
+            # context every non-final chunk would silently lose a hop
             raise ValueError(
-                "vocoder='griffinlim' needs vocode_ctx_frames >= 1"
+                f"vocoder={vocoder!r} needs vocode_ctx_frames >= 1"
             )
         voc = _StreamingVocoder(
             lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
             hop, chunk_frames, vocode_ctx_frames,
-            tail_frames=1 if vocoder == "griffinlim" else 0,
+            # hifigan's generator emits exactly W·hop samples; the other
+            # two emit (W-1)·hop (see the ValueError above)
+            tail_frames=0 if vocoder == "hifigan" else 1,
         )
 
     produced = 0       # raw frames fed to the postnet

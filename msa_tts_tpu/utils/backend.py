@@ -21,7 +21,19 @@ def on_tpu() -> bool:
 
 def resolve_kernel_backend(choice: str | None) -> str:
     """Map a ``pallas`` / ``xla`` / ``auto`` (default) choice to the
-    backend to use on this host."""
+    backend to use on this host.
+
+    Anything other than those three (or None) raises: a typo like
+    ``"Pallas"`` silently falling back to platform detection would make
+    the operator believe the kernel is forced on while the XLA path
+    runs."""
+    if choice is not None:
+        choice = str(choice).lower()
     if choice in ("pallas", "xla"):
         return choice
+    if choice not in (None, "auto"):
+        raise ValueError(
+            f"unknown kernel backend {choice!r}: expected 'pallas', "
+            "'xla' or 'auto'"
+        )
     return "pallas" if on_tpu() else "xla"

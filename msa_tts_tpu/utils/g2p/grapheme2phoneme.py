@@ -35,6 +35,30 @@ _LANG_FLAG_RE = re.compile(r"\([a-zA-Z][a-zA-Z-]*\)")
 _STRESS_CHARS = "ˈˌːˑ"
 
 
+def merge_espeak_lines(out: str) -> str:
+    """Merge espeak's wrapped multi-line output into one line exactly as
+    the reference postprocess does (strip, newline→space, collapse the
+    double space a space-led continuation line produces —
+    phonemizer_api/backend/espeak.py:281).  Shared by the training G2P
+    path here and the public ``phonemize()`` API (phonemize.py)."""
+    return out.strip().replace("\n", " ").replace("  ", " ")
+
+
+def apply_language_switch(line: str, mode: str) -> str | None:
+    """Reference ``language_switch`` policies (espeak.py:286-300).
+    Returns None when ``remove-utterance`` drops the line."""
+    if mode == "remove-utterance":
+        return None if _LANG_FLAG_RE.search(line) else line
+    if mode == "remove-flags":
+        return _LANG_FLAG_RE.sub("", line)
+    if mode == "keep-flags":
+        return line
+    raise RuntimeError(
+        f"lang_switch argument {mode!r} invalid, must be in "
+        "keep-flags, remove-flags, remove-utterance"
+    )
+
+
 def find_espeak() -> str | None:
     for name in ("espeak-ng", "espeak"):
         path = shutil.which(name)
@@ -58,13 +82,9 @@ class EspeakBackend:
             text=True,
             check=True,
         ).stdout
-        # Merge espeak's multi-line output into one line exactly as the
-        # reference postprocess does (strip, \n→space, collapse the
-        # double space a " "-led continuation line produces —
-        # phonemizer_api/backend/espeak.py:281).
-        out = out.strip().replace("\n", " ").replace("  ", " ")
+        out = merge_espeak_lines(out)
         # Remove language-switch flags and tie bars espeak may emit.
-        out = _LANG_FLAG_RE.sub("", out)
+        out = apply_language_switch(out, "remove-flags")
         out = out.replace("͡", "").replace("‍", "")
         return out
 

@@ -33,9 +33,8 @@ import subprocess
 from concurrent.futures import ThreadPoolExecutor
 
 from .festival import FestivalBackend, parse_sexpr
+from .grapheme2phoneme import apply_language_switch, merge_espeak_lines
 from .punctuation import DEFAULT_MARKS, Punctuation
-
-_LANG_FLAG_RE = re.compile(r"\([a-zA-Z][a-zA-Z-]*\)")
 
 
 class Separator:
@@ -101,22 +100,16 @@ def _espeak_raw(binary: str, line: str, language: str) -> str:
 def _espeak_postprocess_line(line: str, separator: Separator,
                              strip: bool, with_stress: bool,
                              language_switch: str) -> str:
-    # merge espeak's wrapped output into one line
-    line = line.strip().replace("\n", " ").replace("  ", " ")
+    # merge espeak's wrapped output into one line (shared with the
+    # training-path backend — grapheme2phoneme.merge_espeak_lines)
+    line = merge_espeak_lines(line)
     # espeak-ng issue #694: spurious trailing separators on some words
     line = re.sub(r"_+", "_", line)
     line = re.sub(r"_ ", " ", line)
 
-    if language_switch == "remove-utterance":
-        if _LANG_FLAG_RE.search(line):
-            return ""
-    elif language_switch == "remove-flags":
-        line = _LANG_FLAG_RE.sub("", line)
-    elif language_switch != "keep-flags":
-        raise RuntimeError(
-            f"lang_switch argument {language_switch!r} invalid, must be "
-            "in keep-flags, remove-flags, remove-utterance"
-        )
+    line = apply_language_switch(line, language_switch)
+    if line is None:
+        return ""
 
     out_line = ""
     for word in line.split(" "):

@@ -716,7 +716,9 @@ class WaveRNN:
         from ..utils.backend import resolve_kernel_backend
 
         self.gen_backend = resolve_kernel_backend(gen_backend)
-        self._run = jax.jit(_make_generate_scan(cfg, backend=gen_backend))
+        self._run = jax.jit(
+            _make_generate_scan(cfg, backend=self.gen_backend)
+        )
         self._upsample = jax.jit(
             lambda p, s, m: upsample_apply(p, s, cfg, m, train=False)
         )

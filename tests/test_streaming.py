@@ -435,3 +435,75 @@ def test_streamed_gl_length_parity_short_utterance():
     wav = np.concatenate(chunks)
     assert wav.shape == wav_off.shape
     assert np.isfinite(wav).all()
+
+
+def test_stream_wavernn_rejects_zero_context():
+    """WaveRNN's generate_batch returns (W-1)·hop samples per W-frame
+    window — the same one-hop-short-per-chunk hazard as Griffin-Lim, so
+    vocode_ctx_frames=0 must be rejected for it too."""
+    tts = _make_tts()
+    with pytest.raises(ValueError, match="vocode_ctx_frames"):
+        list(tts.synthesize_stream(
+            "hello", vocoder="wavernn", spk_emb=EMB,
+            vocode_ctx_frames=0,
+        ))
+
+
+def _tiny_wavernn():
+    from msa_tts_tpu.vocoders.wavernn import WaveRNN, WaveRNNConfig
+
+    hop = AP["hop_length"]
+    return WaveRNN(
+        cfg=WaveRNNConfig(
+            mode="MOL", n_mels=AP["n_mels"], rnn_dims=16, fc_dims=16,
+            compute_dims=8, res_out_dims=8, res_blocks=1,
+            hop_length=hop, sample_rate=AP["sample_rate"], pad=2,
+            upsample_factors=(2, 2, hop // 4),
+        ),
+        rng=jax.random.PRNGKey(0), gen_dtype=None, gen_backend="xla",
+    )
+
+
+@pytest.mark.slow
+def test_streamed_wavernn_length_parity_short_utterance():
+    """A whole utterance shorter than one vocode window exercises the
+    quantization-padded final window: without the wavernn tail trim the
+    stream would emit one extra hop synthesized from the silence-floor
+    padding frames.  Streamed total must equal offline (hop·(T−1))."""
+    tts = _make_tts(max_decoder_steps=16)
+    tts.attach_vocoder("wavernn", _tiny_wavernn())
+    mel = np.asarray(tts.synthesize("hi", vocoder="none", spk_emb=EMB))
+    chunks = list(tts.synthesize_stream(
+        "hi", vocoder="wavernn", spk_emb=EMB,
+        segment_steps=8, chunk_frames=64, vocode_ctx_frames=4,
+    ))
+    wav = np.concatenate(chunks)
+    hop = AP["hop_length"]
+    assert wav.shape == ((mel.shape[-1] - 1) * hop,)
+    assert np.isfinite(wav).all()
+
+
+def test_serving_defaults_attention_energy_masking():
+    """Serving pads/co-batches requests, so AdaptiveTTS must default
+    attention_params.mask_energies=True (a no-op on unpadded rows =
+    the reference's single-utterance semantic); an explicit False from
+    the experiment params still wins (training-side parity default)."""
+    assert _make_tts().cfg.attention_params["mask_energies"] is True
+    ap_off = dict(MODEL["attention_params"], mask_energies=False)
+    tts_off = _make_tts(attention_params=ap_off)
+    assert tts_off.cfg.attention_params["mask_energies"] is False
+
+
+def test_cobatched_mel_independent_of_batchmates():
+    """The serving exactness contract: a request's mel must not change
+    with the other requests in its batch (whose max length sets the
+    text padding).  Needs mask_pad AND the mask_energies default —
+    encoder-conv masking alone leaves pad columns with softmax mass."""
+    tts = _make_tts()
+    solo = tts.synthesize_batch(["hi"], vocoder="none", spk_emb=EMB)[0]
+    pair = tts.synthesize_batch(
+        ["hi", "a considerably longer sentence to stretch the pad"],
+        vocoder="none", spk_emb=EMB,
+    )[0]
+    assert solo.shape == pair.shape
+    np.testing.assert_allclose(solo, pair, atol=1e-4)

@@ -422,3 +422,34 @@ def test_hifigan_inference_batch_matches_single(rng):
             b[: n - guard], s[: n - guard], atol=1e-5,
             err_msg=f"T={m.shape[1]}",
         )
+
+
+def test_resolve_kernel_backend_validates_choice():
+    """Typos must raise, not silently fall back to platform detection
+    (an operator forcing the kernel on would otherwise unknowingly run
+    the XLA path); explicit choices are case-insensitive."""
+    from msa_tts_tpu.utils.backend import resolve_kernel_backend
+
+    assert resolve_kernel_backend("Pallas") == "pallas"
+    assert resolve_kernel_backend("XLA") == "xla"
+    assert resolve_kernel_backend(None) in ("pallas", "xla")
+    assert resolve_kernel_backend("auto") in ("pallas", "xla")
+    with pytest.raises(ValueError, match="palas"):
+        resolve_kernel_backend("palas")
+
+
+def test_gen_backend_auto_resolution_reaches_run(monkeypatch):
+    """gen_backend='auto' must bake the RESOLVED backend into every
+    generation program, the unbatched self._run included — passing the
+    unresolved 'auto' string through would silently run the XLA scan on
+    TPU hardware (where auto means the Pallas kernel)."""
+    import inspect
+
+    from msa_tts_tpu.utils import backend as B
+
+    monkeypatch.setattr(B, "on_tpu", lambda: True)
+    voc = W.WaveRNN(cfg=TINY_WRNN, rng=jax.random.PRNGKey(0))
+    assert voc.gen_backend == "pallas"
+    cv = inspect.getclosurevars(voc._run.__wrapped__)
+    inner = inspect.getclosurevars(cv.nonlocals["run_with_noise"])
+    assert inner.nonlocals["backend"] == "pallas"
