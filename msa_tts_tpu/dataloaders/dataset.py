@@ -41,6 +41,11 @@ class Item:
     # source audio path (kept for consumers that need waveforms, e.g.
     # vocoder training; the acoustic model only uses the cached mel)
     audio_path: str | None = None
+    # silence-trim slice (start, end) into the loaded waveform that
+    # produced ``mel``; consumers pairing the mel with the waveform
+    # (vocoder training) must apply it or frame 0 of the mel and sample
+    # 0 of the audio are misaligned by the trim offset.  None = untrimmed.
+    trim: tuple | None = None
 
     @property
     def mel_for_training(self) -> np.ndarray:
@@ -131,14 +136,18 @@ class TTSDataset:
                 ref_level_db=ref_level_db, n_threads=feats_threads,
             )
         if native_out is not None:
-            for item, mel in zip(self.items, native_out[0]):
+            for item, mel, sl in zip(self.items, *native_out):
                 item.mel = mel
+                if trim_margin_silence:
+                    item.trim = (int(sl[0]), int(sl[1]))
         else:
             for item, wav in zip(self.items, wavs):
                 if trim_margin_silence:
-                    wav = A.trim_margin_silence(
+                    s, e = A.trim_margin_silence_slice(
                         wav, ref_level_db=ref_level_db
                     )
+                    item.trim = (s, e)
+                    wav = wav[s:e]
                 item.mel = compute_logmel(
                     wav, audio_processor, audio_params
                 )

@@ -40,17 +40,21 @@ def _compile() -> str | None:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # per-process tmp name: concurrent first-use compiles (pytest-xdist
+    # workers, two jobs sharing a checkout) must not write the same tmp
+    # path, or one process's os.replace could publish a half-written .so
+    tmp = f"{so_path}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        "-o", so_path + ".tmp", _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, text=True, timeout=180,
         )
+        os.replace(tmp, so_path)
     except (OSError, subprocess.SubprocessError):
-        return None
-    os.replace(so_path + ".tmp", so_path)
+        return so_path if os.path.exists(so_path) else None
     return so_path
 
 

@@ -331,18 +331,20 @@ def mfcc(wav, audio_params: dict, xp=jnp):
 # Silence trimming (host-side, numpy)
 # --------------------------------------------------------------------------
 
-def trim_margin_silence(
+def trim_margin_silence_slice(
     wav: np.ndarray,
     ref_level_db: float = 26,
     frame_length: int = 1024,
     hop_length: int = 256,
-) -> np.ndarray:
-    """Trim leading/trailing silence below ``ref_level_db`` relative to peak
-    power (librosa.effects.trim semantics; reference: msa_tts/utils/ap.py:95-112).
-    """
+) -> tuple[int, int]:
+    """Bounds of :func:`trim_margin_silence`'s slice into ``wav``.
+
+    Exposed separately so consumers that pair the trimmed-derived mel
+    with the waveform (vocoder training) can reproduce the exact trim
+    on a reloaded wav instead of re-running the frame analysis."""
     wav = np.asarray(wav)
     if wav.size == 0:
-        return wav
+        return 0, 0
     pad = frame_length // 2
     padded = np.pad(wav, (pad, pad))
     n_frames = 1 + (padded.shape[-1] - frame_length) // hop_length
@@ -354,14 +356,30 @@ def trim_margin_silence(
     power = np.mean(frames**2, axis=-1)
     ref = np.max(power)
     if ref <= 0:
-        return wav
+        return 0, int(wav.shape[-1])
     db = 10.0 * np.log10(np.maximum(power, 1e-20) / ref)
     non_silent = db > -ref_level_db
     nz = np.flatnonzero(non_silent)
     if nz.size == 0:
-        return wav[:0]
+        return 0, 0
     start = int(nz[0]) * hop_length
-    end = min(wav.shape[-1], int(nz[-1] + 1) * hop_length)
+    end = min(int(wav.shape[-1]), int(nz[-1] + 1) * hop_length)
+    return start, end
+
+
+def trim_margin_silence(
+    wav: np.ndarray,
+    ref_level_db: float = 26,
+    frame_length: int = 1024,
+    hop_length: int = 256,
+) -> np.ndarray:
+    """Trim leading/trailing silence below ``ref_level_db`` relative to peak
+    power (librosa.effects.trim semantics; reference: msa_tts/utils/ap.py:95-112).
+    """
+    wav = np.asarray(wav)
+    start, end = trim_margin_silence_slice(
+        wav, ref_level_db, frame_length, hop_length
+    )
     return wav[start:end]
 
 

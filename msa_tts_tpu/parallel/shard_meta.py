@@ -58,6 +58,24 @@ def shard_task_batch_2d(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def _merge_task_states_sharded(ms_stack, like):
+    """Sharded counterpart of ``meta.maml.merge_task_states``: float
+    leaves (batch-norm running statistics) average over the local task
+    axis then pmean over the whole mesh (each dp shard adapted on its
+    own shot shard, each task row on its own tasks), so the carried
+    state is identical on every device; non-float leaves take the local
+    first task.  Without this the sharded steps would discard every
+    task's post-adapt state and BN stats would stay frozen at init —
+    the exact bug commit-fixed in the unsharded steps."""
+    return jax.tree_util.tree_map(
+        lambda s, r: jax.lax.pmean(
+            jnp.mean(s, axis=0), ("task", "dp")
+        ).astype(r.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating) else s[0],
+        ms_stack, like,
+    )
+
+
 def make_sharded_maml_step(
     loss_fn: Callable,
     inner_tx: optax.GradientTransformation,
@@ -87,10 +105,15 @@ def make_sharded_maml_step(
         adapted, ms, inner_losses = adapt(
             params, model_state, support_i, k_adapt
         )
-        qloss, _ = loss_fn(adapted, ms, query_i, k_query)
+        qloss, ms_q = loss_fn(adapted, ms, query_i, k_query)
         # local qloss is the mean over this device's shot shard; pmean
-        # over dp completes the per-task mean.
-        return jax.lax.pmean(qloss, "dp"), inner_losses
+        # over dp completes the per-task mean.  The post-query model
+        # state rides along (stop-gradient) so the outer step carries BN
+        # running stats exactly like the unsharded step (which merges
+        # ms_q, the state after the query forward — meta/maml.py).
+        return jax.lax.pmean(qloss, "dp"), (
+            inner_losses, jax.lax.stop_gradient(ms_q)
+        )
 
     def task_grad_fo(params, model_state, support_i, query_i, rng_i):
         k_adapt, k_query = jax.random.split(rng_i)
@@ -100,13 +123,12 @@ def make_sharded_maml_step(
         adapted = jax.lax.stop_gradient(adapted)
 
         def q(p):
-            loss, _ = loss_fn(p, ms, query_i, k_query)
-            return loss
+            return loss_fn(p, ms, query_i, k_query)
 
-        qloss, g = jax.value_and_grad(q)(adapted)
+        (qloss, ms_q), g = jax.value_and_grad(q, has_aux=True)(adapted)
         g = jax.lax.pmean(g, "dp")
         qloss = jax.lax.pmean(qloss, "dp")
-        return g, qloss, inner_losses
+        return g, qloss, inner_losses, ms_q
 
     def local_step(state: TrainState, support: dict, query: dict, rng):
         # Local block: (K_loc, S_loc, ...).  Same per-task rng derivation
@@ -122,7 +144,7 @@ def make_sharded_maml_step(
         if second_order:
 
             def outer_loss(p):
-                qlosses, inner = jax.vmap(
+                qlosses, (inner, ms_stack) = jax.vmap(
                     task_query_loss, in_axes=(None, None, 0, 0, 0)
                 )(p, state.model_state, support, query, keys)
                 # mean over local tasks then over the task axis; the dp
@@ -130,10 +152,10 @@ def make_sharded_maml_step(
                 # *gradient* contributions are per-shot shards, so the
                 # outer pmean must span both axes.
                 return jax.lax.pmean(jnp.mean(qlosses), ("task", "dp")), (
-                    qlosses, inner
+                    qlosses, inner, ms_stack
                 )
 
-            (loss, (qlosses, inner)), grads = jax.value_and_grad(
+            (loss, (qlosses, inner, ms_stack)), grads = jax.value_and_grad(
                 outer_loss, has_aux=True
             )(state.params)
             # value_and_grad under shard_map yields each device's LOCAL
@@ -145,7 +167,7 @@ def make_sharded_maml_step(
             # gradient of the global mean query loss.
             grads = jax.lax.pmean(grads, ("task", "dp"))
         else:
-            task_grads, qlosses, inner = jax.vmap(
+            task_grads, qlosses, inner, ms_stack = jax.vmap(
                 task_grad_fo, in_axes=(None, None, 0, 0, 0)
             )(state.params, state.model_state, support, query, keys)
             grads = jax.tree_util.tree_map(
@@ -167,7 +189,9 @@ def make_sharded_maml_step(
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params,
-            model_state=state.model_state,
+            model_state=_merge_task_states_sharded(
+                ms_stack, state.model_state
+            ),
             opt_state=new_opt_state,
             step=state.step + 1,
         )
@@ -225,11 +249,11 @@ def make_sharded_reptile_step(
             params, model_state, support_i, k_adapt
         )
         adapted = jax.lax.stop_gradient(adapted)
-        qloss, _ = loss_fn(adapted, ms, query_i, k_query)
+        qloss, ms_q = loss_fn(adapted, ms, query_i, k_query)
         direction = jax.tree_util.tree_map(
             lambda p0, pT: p0 - pT, params, adapted
         )
-        return direction, jax.lax.pmean(qloss, "dp"), inner_losses
+        return direction, jax.lax.pmean(qloss, "dp"), inner_losses, ms_q
 
     def local_step(state: TrainState, support, query, rng):
         K_loc = jax.tree_util.tree_leaves(support)[0].shape[0]
@@ -239,7 +263,7 @@ def make_sharded_reptile_step(
             keys_all, t_idx * K_loc, K_loc
         )
 
-        directions, qlosses, inner = jax.vmap(
+        directions, qlosses, inner, ms_stack = jax.vmap(
             task_direction, in_axes=(None, None, 0, 0, 0)
         )(state.params, state.model_state, support, query, keys)
         grads = jax.tree_util.tree_map(
@@ -260,6 +284,9 @@ def make_sharded_reptile_step(
         new_params = optax.apply_updates(state.params, updates)
         new_state = state._replace(
             params=new_params,
+            model_state=_merge_task_states_sharded(
+                ms_stack, state.model_state
+            ),
             opt_state=new_opt_state,
             step=state.step + 1,
         )

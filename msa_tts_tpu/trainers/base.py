@@ -158,6 +158,11 @@ class TrainerBase:
 
     def _loss_for_batch(self, params, model_state, batch: dict, rng,
                         train: bool = True):
+        # hold the PRE-cast ground truth for the loss: under bf16 the
+        # teacher-forcing input may be cast, but the loss target must be
+        # the original fp32 mels or gradients pull toward bf16-quantized
+        # targets and eval losses stop being comparable to fp32 runs
+        target_mels = batch["melspecs"]
         params, model_state, batch = self._cast_for_compute(
             params, model_state, batch
         )
@@ -184,7 +189,7 @@ class TrainerBase:
         mel_out, mel_post, gate, align = outs
         loss = tacotron2_loss(
             (mel_out, mel_post, gate, align),
-            (batch["melspecs"].astype(jnp.float32), batch["stop_labels"]),
+            (target_mels.astype(jnp.float32), batch["stop_labels"]),
             batch["melspec_lengths"],
             **self.loss_kwargs,
         )
@@ -352,7 +357,15 @@ class TrainerBase:
                 self.train_state.params,
                 restore_like(self.train_state.params, raw["params"]),
             )
-            self.train_state = self.train_state._replace(params=new_params)
+            # restore model_state (batch-norm running stats) too, like
+            # the .pt branch — finetuning must not restart from init
+            # statistics while using trained params
+            new_ms = self.train_state.model_state
+            if raw.get("model_state") is not None:
+                new_ms = restore_like(new_ms, raw["model_state"])
+            self.train_state = self.train_state._replace(
+                params=new_params, model_state=new_ms
+            )
         self._reshard_state()
 
     # ------------------------------------------------- preemption resume
@@ -389,10 +402,15 @@ class TrainerBase:
             save_checkpoint(ckpt_path, payload)
 
     def _finish_checkpoints(self):
-        """Drain any pending async checkpoint writes (call at run() end
-        and before anything reads the auto-resume files in-process)."""
+        """Drain pending async checkpoint writes AND stop the worker
+        thread (call at run() end and before anything reads the
+        auto-resume files in-process).  Closing — not just waiting —
+        matters for in-process sequential trainers (test suites, sweeps):
+        each AsyncCheckpointer otherwise leaks a live thread for the
+        process lifetime.  A later save lazily re-creates one."""
         if hasattr(self, "_async_ckpt"):
-            self._async_ckpt.wait()
+            self._async_ckpt.close()
+            del self._async_ckpt
 
     def _try_resume_epoch(self):
         """Returns ``(completed_epochs, resume_state_dict | None)``."""

@@ -42,6 +42,11 @@ def get_similarity(vec1, vec_list, sim_type: str = "cosine") -> float:
                 / (np.linalg.norm(vec1) * np.linalg.norm(vec2))
             )
         elif sim_type == "l2_dist":
+            # NOTE: sum(sqrt(x²)) = sum(|x|) is the L1 distance, not L2 —
+            # deliberately kept byte-for-byte with the reference
+            # (continual_er_reg.py:116), which has the same formula;
+            # matching its regularization strength matters more than the
+            # name (the in-repo path hardcodes "cosine" anyway)
             sim = float(np.sum(np.sqrt((vec1 - vec2) ** 2)))
         else:
             raise ValueError(sim_type)

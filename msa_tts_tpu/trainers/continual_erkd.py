@@ -41,17 +41,27 @@ class ExperienceReplayKnowledgeDistillTrainer(ContinualTrainerBase):
                 use_soft_mel=False,
             )
             inputs = self._unpack_batch(batch)
-            outs, _ = tacotron2nv_forward(
+            # jitted + shape-cached: this runs for every buffer chunk at
+            # every task boundary — eagerly it re-dispatches the full
+            # teacher-forced graph op-by-op each time
+            if not hasattr(self, "_soften_fwd_jit"):
+                def _fwd(p, ms, i_, il, m, mlen, sv, key):
+                    outs, _ = tacotron2nv_forward(
+                        p, ms, self.cfg, i_, il, m, mlen, sv, key,
+                        train=True,
+                    )
+                    return outs
+
+                self._soften_fwd_jit = jax.jit(_fwd)
+            outs = self._soften_fwd_jit(
                 self.train_state.params,
                 self.train_state.model_state,
-                self.cfg,
                 inputs["inputs"],
                 inputs["input_lengths"],
                 inputs["melspecs"],
                 inputs["melspec_lengths"],
                 inputs["speaker_vecs"],
                 rng,
-                train=True,
             )
             mel_post = np.asarray(outs[1])
             for i, it in enumerate(chunk):

@@ -108,9 +108,17 @@ class HiFiGANTrainer:
             ]
             if it.item_id not in self._wav_cache:
                 try:
-                    self._wav_cache[it.item_id] = load_wav(
+                    w = load_wav(
                         it.audio_path, target_sample_rate=ap["sample_rate"]
                     )
+                    # keep the dataset's silence trim: the generator
+                    # should train on the same speech region the rest of
+                    # the pipeline featurizes (mels here are recomputed
+                    # from the segment, so this is consistency, not the
+                    # alignment requirement wavernn_train has)
+                    if it.trim is not None:
+                        w = w[it.trim[0] : it.trim[1]]
+                    self._wav_cache[it.item_id] = w
                 except (FileNotFoundError, TypeError):
                     self._wav_cache[it.item_id] = None
             wav = self._wav_cache[it.item_id]

@@ -128,17 +128,27 @@ class MetaTrainer(TrainerBase):
                 task_qry = {
                     k: v[i] for k, v in qry.items()
                 }
-                outs, _ = tacotron2nv_forward(
+                # jitted + shape-cached: the eager forward re-dispatched
+                # the whole teacher-forced graph op-by-op per speaker per
+                # meta-test batch — a large host stall on TPU
+                if not hasattr(self, "_metatest_fwd_jit"):
+                    def _fwd(p, ms, i_, il, m, mlen, sv, key):
+                        outs, _ = tacotron2nv_forward(
+                            p, ms, self.cfg, i_, il, m, mlen, sv, key,
+                            train=True,
+                        )
+                        return outs
+
+                    self._metatest_fwd_jit = jax.jit(_fwd)
+                outs = self._metatest_fwd_jit(
                     task_params,
                     task_ms,
-                    self.cfg,
                     task_qry["inputs"],
                     task_qry["input_lengths"],
                     task_qry["melspecs"],
                     task_qry["melspec_lengths"],
                     task_qry["speaker_vecs"],
                     keys[i],
-                    train=True,
                 )
                 mcd = float(
                     mcd_batch(

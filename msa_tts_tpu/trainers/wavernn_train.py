@@ -97,12 +97,18 @@ class WaveRNNTrainer:
             ]
             if it.item_id not in self._wav_cache:
                 try:
-                    self._wav_cache[it.item_id] = load_wav(
+                    w = load_wav(
                         it.audio_path,
                         target_sample_rate=self.params["audio_params"][
                             "sample_rate"
                         ],
                     )
+                    # it.mel was computed from the TRIMMED waveform
+                    # (dataset.py); apply the same slice or mel frame 0
+                    # and wav sample 0 are offset by the leading silence
+                    if it.trim is not None:
+                        w = w[it.trim[0] : it.trim[1]]
+                    self._wav_cache[it.item_id] = w
                 except (FileNotFoundError, TypeError):
                     self._wav_cache[it.item_id] = None
             wav_full = self._wav_cache[it.item_id]

@@ -115,3 +115,29 @@ def test_save_pickle_snapshots_at_enqueue(tmp_path):
         d = pickle.load(f)
     assert d["speakers"] == ["a"]
     assert d["n"] == 1
+
+
+def test_finish_checkpoints_stops_worker_thread(tmp_path):
+    """TrainerBase._finish_checkpoints must CLOSE the async checkpointer
+    (thread exits), not just drain it — in-process sequential trainers
+    (suites, sweeps) otherwise leak one live thread each — and a later
+    save must transparently re-create one."""
+    import threading
+
+    from msa_tts_tpu.trainers.base import TrainerBase
+
+    class T(TrainerBase):  # minimal host for the two methods under test
+        def __init__(self):
+            self.params = {}
+
+    t = T.__new__(T)
+    t.params = {}
+    ck = AsyncCheckpointer()
+    t._async_ckpt = ck
+    ck.save(str(tmp_path / "a.ckpt"), {"x": np.zeros(3)})
+    before = threading.active_count()
+    t._finish_checkpoints()
+    assert not ck._thread.is_alive()
+    assert threading.active_count() < before or not ck._thread.is_alive()
+    assert not hasattr(t, "_async_ckpt")
+    assert (tmp_path / "a.ckpt").exists()

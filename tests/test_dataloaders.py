@@ -201,3 +201,61 @@ def test_prefetch_threaded_abandonment_and_errors():
     next(it2)
     with pytest.raises(RuntimeError, match="loader exploded"):
         next(it2)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_dataset_records_trim_slice(tmp_path, use_native):
+    """With trim_margin_silence, every Item carries the (start, end)
+    slice its mel was computed from, identically on the native and
+    numpy paths — vocoder training needs it to re-align the waveform
+    with the cached mel (wavernn_train._sample_batch)."""
+    import glob
+    import os
+
+    from msa_tts_tpu.dataloaders.dataset import TTSDataset, compute_logmel
+    from msa_tts_tpu.dataloaders.metafile import parse_metafile, split_speakers
+    from msa_tts_tpu.ops.audio import load_wav, save_wav
+
+    root = str(tmp_path / f"c{int(use_native)}")
+    make_synthetic_corpus(
+        root, n_speakers=1, utterances_per_speaker=3, seed=1,
+        min_dur=0.3, max_dur=0.4,
+    )
+    # inject real silence margins so the trim is non-trivial
+    for p in glob.glob(os.path.join(root, "**", "*.wav"), recursive=True):
+        w = load_wav(p)
+        save_wav(
+            p,
+            np.concatenate(
+                [np.zeros(6000, np.float32), w, np.zeros(3000, np.float32)]
+            ),
+            22050,
+        )
+    prm = synthetic_params(root, n_speakers=1, batch_size=2)
+    utts = parse_metafile(
+        os.path.join(root, prm["dataset_train"]["meta_file"])
+    )
+    splits, _ = split_speakers(
+        utts, prm["dataset_train"]["speakers_list"], perc_train=0.7
+    )
+    ds = TTSDataset(
+        splits, "train",
+        dataset_path=root,
+        audio_folder=prm["dataset_train"].get("audio_folder", "wavs"),
+        trim_margin_silence=True, ref_level_db=26,
+        audio_processor="ap", audio_params=prm["audio_params"],
+        use_native_feats=use_native,
+    )
+    for it in ds.items:
+        assert it.trim is not None
+        s, e = it.trim
+        assert s > 0 and e > s  # the injected silence actually trimmed
+        wav = load_wav(
+            it.audio_path,
+            target_sample_rate=prm["audio_params"]["sample_rate"],
+        )
+        mel_from_slice = compute_logmel(
+            wav[s:e], "ap", prm["audio_params"]
+        )
+        assert mel_from_slice.shape == it.mel.shape
+        np.testing.assert_allclose(mel_from_slice, it.mel, atol=2e-4)

@@ -621,3 +621,85 @@ def test_checkpoint_elastic_mesh_reshape(tmp_path):
         np.asarray(st1.params["w"]), w_ref, rtol=1e-6,
         err_msg="elastic restore diverged on single device",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded steps must CARRY the post-adapt model state (BN running stats)
+# like the unsharded steps do — not silently keep it frozen at init
+# ---------------------------------------------------------------------------
+
+def stateful_quad_loss(params, model_state, batch, rng):
+    """quad_loss plus a linear running statistic in the model state (a
+    stand-in for BN running means, whose update is linear in the batch
+    statistic — so the dp-sharded pmean merge is exact, not approximate)."""
+    del rng
+    loss = 0.5 * jnp.sum(
+        (params["w"][None, :] - batch["target"]) ** 2
+    ) / batch["target"].shape[0]
+    new_state = {
+        "running": 0.9 * model_state["running"]
+        + 0.1 * jnp.mean(batch["target"], axis=0)
+    }
+    return loss, new_state
+
+
+@pytest.mark.parametrize("dp,task", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("kind", ["maml", "reptile"])
+def test_sharded_steps_carry_model_state(dp, task, kind):
+    """After one sharded MAML/Reptile step the carried model state must
+    (a) differ from init and (b) match the unsharded step's merged
+    state — the sharded steps previously discarded every task's
+    post-adapt state, freezing BN stats for the whole run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from msa_tts_tpu.meta.reptile import make_reptile_step
+    from msa_tts_tpu.parallel.shard_meta import make_sharded_reptile_step
+
+    mesh2 = make_mesh(dp=dp, task=task)
+    K, S = 8, 8
+    if kind == "maml":
+        ref_step = make_maml_step(
+            stateful_quad_loss, optax.sgd(0.1), optax.sgd(1.0),
+            n_inner=2, second_order=True, remat=False,
+        )
+        sh_step = make_sharded_maml_step(
+            stateful_quad_loss, optax.sgd(0.1), optax.sgd(1.0), 2, mesh2,
+            second_order=True, remat=False,
+        )
+    else:
+        ref_step = make_reptile_step(
+            stateful_quad_loss, optax.sgd(0.1), optax.sgd(1.0),
+            n_inner=2, mode="batched", remat=False,
+        )
+        sh_step = make_sharded_reptile_step(
+            stateful_quad_loss, optax.sgd(0.1), optax.sgd(1.0), 2, mesh2,
+            remat=False,
+        )
+
+    w0 = jnp.asarray([3.0, -1.0])
+    ms0 = {"running": jnp.zeros(2)}
+    support = _episode_quad(K, S, seed=0)
+    query = {"target": _episode_quad(K, S, seed=1)["target"] + 0.5}
+
+    def mkstate():
+        return TrainState(
+            params={"w": w0}, model_state=jax.tree_util.tree_map(
+                jnp.copy, ms0
+            ),
+            opt_state=optax.sgd(1.0).init({"w": w0}), step=0,
+        )
+
+    ref_out, _ = jax.jit(ref_step)(
+        mkstate(), support, query, jax.random.PRNGKey(0)
+    )
+    with mesh2:
+        sup = shard_task_batch_2d(support, mesh2)
+        qry = shard_task_batch_2d(query, mesh2)
+        st = replicate_state(mkstate(), mesh2)
+        sh_out, _ = jax.jit(sh_step)(st, sup, qry, jax.random.PRNGKey(0))
+
+    ref_run = np.asarray(ref_out.model_state["running"])
+    sh_run = np.asarray(sh_out.model_state["running"])
+    assert not np.allclose(ref_run, np.zeros(2))   # unsharded moved
+    assert not np.allclose(sh_run, np.zeros(2))    # sharded moved too
+    np.testing.assert_allclose(sh_run, ref_run, rtol=1e-5, atol=1e-7)

@@ -158,3 +158,50 @@ def test_joint_resume_bit_identical(tmp_path):
     assert t_res.best_test_loss == pytest.approx(
         t_full.best_test_loss, rel=0, abs=0
     )
+
+
+def test_finetune_native_checkpoint_restores_model_state(tmp_path):
+    """finetune from a native (.ckpt) checkpoint must restore the
+    model_state (batch-norm running stats) alongside the params, like
+    the .pt branch does — finetuning with trained params but init BN
+    statistics degrades every train=False consumer."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tts_tpu.utils.checkpoint import save_checkpoint
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=1, utterances_per_speaker=3, seed=0,
+        min_dur=0.25, max_dur=0.3,
+    )
+    params = synthetic_params(
+        root, n_speakers=1, batch_size=2, n_epochs=1,
+        model_overrides={"max_decoder_steps": 12},
+    )
+    params.update(use_tensorboard=False, plot_examples=False)
+    t_a = JointTrainer(**dict(params, experiment_name="src"))
+
+    # stamp a distinctive value into every float model-state leaf
+    marked_ms = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, 0.123) if x.dtype == jnp.float32 else x,
+        t_a.train_state.model_state,
+    )
+    t_a.train_state = t_a.train_state._replace(model_state=marked_ms)
+    ckpt = str(tmp_path / "src.ckpt")
+    save_checkpoint(ckpt, t_a._ckpt_payload())
+
+    t_b = JointTrainer(**dict(
+        params, experiment_name="dst",
+        finetune=True, finetune_checkpoint_path=ckpt,
+    ))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(marked_ms),
+        jax.tree_util.tree_leaves(t_b.train_state.model_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_a.train_state.params),
+        jax.tree_util.tree_leaves(t_b.train_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
