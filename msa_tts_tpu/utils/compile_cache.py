@@ -45,6 +45,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
                 "process-global)", _enabled_dir, path
             )
         return _enabled_dir
+    # On CPU-only hosts the cache is opt-in (explicit path argument or
+    # $MSA_COMPILATION_CACHE_DIR): CPU compiles are cheap, and XLA:CPU
+    # reloads persisted AOT results with machine-feature checks that
+    # log loudly (and can in principle SIGILL) when the entry was built
+    # under different flags.  The ~24-minute tax this cache exists for
+    # is the TPU program set (BENCHMARKS.md recompile audit).
+    explicit = path is not None or "MSA_COMPILATION_CACHE_DIR" in os.environ
+    if not explicit and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return None
     path = path or default_cache_dir()
     try:
         os.makedirs(path, exist_ok=True)
