@@ -155,8 +155,12 @@ class Inference:
         inputs = jnp.asarray(np.asarray(seq, np.int32)[None, :])
         in_len = jnp.asarray([len(seq)])
 
-        with open(self.params["spk_emb_path"], "rb") as f:
-            emb = pickle.load(f)
+        if not hasattr(self, "_spk_emb_cache"):
+            # one unpickle for the whole inference run, not one per
+            # synthesized speaker (the file holds ALL speakers)
+            with open(self.params["spk_emb_path"], "rb") as f:
+                self._spk_emb_cache = pickle.load(f)
+        emb = self._spk_emb_cache
         vec = emb[speaker]["mean"] if isinstance(emb[speaker], dict) \
             else emb[speaker]
         spk_vec = jnp.asarray(np.asarray(vec, np.float32)[None, :])
@@ -396,13 +400,29 @@ def unpack_task_batch_single(batch, speaker_emb_type: str) -> dict:
 # ---------------------------------------------------------------- CLI
 
 
+def coerce_cli_value(v: str):
+    """YAML-coerce one ``--key value`` CLI string so overrides get the
+    same types params.yml would give them: ``--infer_seed 1`` must reach
+    PRNGKey as an int and ``--plot_loss_landscapes false`` must be the
+    boolean False, not a truthy string.  Anything unparseable stays a
+    plain string (speaker lists like ``A,B``, free text)."""
+    import yaml
+
+    try:
+        parsed = yaml.safe_load(v)
+    except yaml.YAMLError:
+        return v
+    return v if parsed is None and v.strip() not in ("null", "~", "") else parsed
+
+
 def get_cmd_params() -> dict:
-    """``--key value`` free-form CLI params (reference infer.py:378-393)."""
+    """``--key value`` free-form CLI params (reference infer.py:378-393),
+    values YAML-coerced to params.yml types."""
     args = sys.argv[1:]
     assert len(args) % 2 == 0, "arguments must be --key value pairs"
     out = {}
     for i in range(1, len(args), 2):
-        out[args[i - 1].lstrip("-")] = args[i]
+        out[args[i - 1].lstrip("-")] = coerce_cli_value(args[i])
     return out
 
 

@@ -218,11 +218,16 @@ class InferCumulative:
 
 
 def get_cmd_params() -> dict:
+    """``--key value`` CLI params, YAML-coerced (a string
+    ``--speaker_seed 0`` would shuffle the stream differently than the
+    int-seeded training shuffle and break checkpoint lookup)."""
+    from .infer import coerce_cli_value
+
     args = sys.argv[1:]
     assert len(args) % 2 == 0, "arguments must be --key value pairs"
     out = {}
     for i in range(1, len(args), 2):
-        out[args[i - 1].lstrip("-")] = args[i]
+        out[args[i - 1].lstrip("-")] = coerce_cli_value(args[i])
     return out
 
 

@@ -12,13 +12,21 @@ def pow2_bucket(n: int) -> int:
     return 1 << (max(n, 1) - 1).bit_length()
 
 
-def pad_mel_batch(mels, frame_multiple: int = 32) -> np.ndarray:
+def pad_mel_batch(
+    mels, frame_multiple: int = 32, fill: str = "floor"
+) -> np.ndarray:
     """Stack variably-sized ``(n_mels, T_i)`` mels into one
     ``(Bp, n_mels, T_max)`` array: frame counts quantized to
-    ``frame_multiple``, each mel padded with its own silence floor,
-    batch rows padded to a power-of-two bucket by repeating the last
-    mel.  Callers slice row ``i`` of the result back to its own length.
-    """
+    ``frame_multiple``, batch rows padded to a power-of-two bucket by
+    repeating the last mel.  Callers slice row ``i`` of the result back
+    to its own length.
+
+    ``fill``: ``"floor"`` pads each mel with its own silence floor
+    (right for iterative spectral inversion — Griffin-Lim); ``"zero"``
+    pads with literal zeros, which makes a purely-convolutional
+    consumer's padded run match its unpadded run exactly — the conv's
+    implicit zero padding and the explicit zero frames are the same
+    numbers (HiFiGAN.inference_batch)."""
     arr = [np.asarray(m) for m in mels]
     B = len(arr)
     Bp = pow2_bucket(B)
@@ -29,7 +37,7 @@ def pad_mel_batch(mels, frame_multiple: int = 32) -> np.ndarray:
     padded = [
         np.pad(
             m, ((0, 0), (0, t_max - m.shape[1])),
-            constant_values=float(m.min()),
+            constant_values=0.0 if fill == "zero" else float(m.min()),
         )
         for m in arr
     ]

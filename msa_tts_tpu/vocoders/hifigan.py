@@ -118,31 +118,53 @@ def init_generator(rng, h: dict, n_mels: int = 80):
 # Apply
 # --------------------------------------------------------------------------
 
-def _resblock_apply(params, kind: str, x, kernel_size: int, dilations):
+def _resblock_apply(params, kind: str, x, kernel_size: int, dilations,
+                    mask=None):
+    def m(t):
+        return t if mask is None else jnp.where(mask, t, 0.0)
+
     if kind == "1":
         for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            xt = N.conv1d(
+            xt = m(N.conv1d(
                 c1, xt, padding=get_padding(kernel_size, d), dilation=d
-            )
+            ))
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = N.conv1d(c2, xt, padding=get_padding(kernel_size, 1))
+            xt = m(N.conv1d(c2, xt, padding=get_padding(kernel_size, 1)))
             x = xt + x
     else:
         for c, d in zip(params["convs"], dilations):
             xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            xt = N.conv1d(
+            xt = m(N.conv1d(
                 c, xt, padding=get_padding(kernel_size, d), dilation=d
-            )
+            ))
             x = xt + x
     return x
 
 
-def generator_apply(params, h: dict, mel):
-    """mel: (B, n_mels, T) log-mel ("ap2" flavor) → waveform (B, T·hop)."""
+def generator_apply(params, h: dict, mel, lengths=None):
+    """mel: (B, n_mels, T) log-mel ("ap2" flavor) → waveform (B, T·hop).
+
+    ``lengths`` (B,) true frame counts makes the batched run
+    pad-invariant to conv semantics: zeroing every conv's output at
+    frames ≥ the (per-layer upsampled) true length reproduces the
+    implicit zero padding the unpadded single-utterance run sees, layer
+    by layer — including *inside* the resblocks, where a second conv
+    would otherwise read the bias the first conv wrote into the padded
+    region.  Row i's first ``T_i·hop`` samples then equal
+    ``inference(mels[i])`` exactly."""
     h = AttrDict(h)
     num_kernels = len(h.resblock_kernel_sizes)
-    x = N.conv1d(params["conv_pre"], mel, padding=3)
+
+    def mk_mask(T, lens):
+        return (jnp.arange(T)[None, :] < lens[:, None])[:, None, :]
+
+    mask = None if lengths is None else mk_mask(mel.shape[2], lengths)
+
+    def m(t):
+        return t if mask is None else jnp.where(mask, t, 0.0)
+
+    x = m(N.conv1d(params["conv_pre"], mel, padding=3))
     for i, (u, k) in enumerate(
         zip(h.upsample_rates, h.upsample_kernel_sizes)
     ):
@@ -150,6 +172,10 @@ def generator_apply(params, h: dict, mel):
         x = N.conv_transpose1d(
             params["ups"][i], x, stride=u, padding=(k - u) // 2
         )
+        if lengths is not None:
+            lengths = lengths * u
+            mask = mk_mask(x.shape[2], lengths)
+        x = m(x)
         xs = None
         for j in range(num_kernels):
             rb = params["resblocks"][i * num_kernels + j]
@@ -159,6 +185,7 @@ def generator_apply(params, h: dict, mel):
                 x,
                 h.resblock_kernel_sizes[j],
                 h.resblock_dilation_sizes[j],
+                mask=mask,
             )
             xs = y if xs is None else xs + y
         x = xs / num_kernels
@@ -211,19 +238,24 @@ def generator_params_from_state_dict(sd: dict, h: dict):
         ups.append(_conv_from_sd(sd, f"ups.{i}"))
     params["ups"] = ups
     resblocks = []
-    n_res = len(h.upsample_rates) * len(h.resblock_kernel_sizes)
+    num_kernels = len(h.resblock_kernel_sizes)
+    n_res = len(h.upsample_rates) * num_kernels
     for i in range(n_res):
         base = f"resblocks.{i}"
+        # one conv per dilation entry — sized from the config, not
+        # hardcoded to the v1/v2/v3 presets, so custom dilation lists
+        # round-trip instead of raising KeyError / truncating silently
+        n_convs = len(h.resblock_dilation_sizes[i % num_kernels])
         if h.resblock == "1":
             resblocks.append(
                 {
                     "convs1": [
                         _conv_from_sd(sd, f"{base}.convs1.{j}")
-                        for j in range(3)
+                        for j in range(n_convs)
                     ],
                     "convs2": [
                         _conv_from_sd(sd, f"{base}.convs2.{j}")
-                        for j in range(3)
+                        for j in range(n_convs)
                     ],
                 }
             )
@@ -232,7 +264,7 @@ def generator_params_from_state_dict(sd: dict, h: dict):
                 {
                     "convs": [
                         _conv_from_sd(sd, f"{base}.convs.{j}")
-                        for j in range(2)
+                        for j in range(n_convs)
                     ]
                 }
             )
@@ -272,20 +304,38 @@ class HiFiGAN:
 
     def inference_batch(self, mels) -> list:
         """ONE generator pass for variably-sized mels: shapes are
-        quantized by ``utils.batching.pad_mel_batch`` (shared with the
-        serving Griffin-Lim path) and each waveform is cut back to its
-        own frames·hop samples (the generator's exact output length)."""
+        quantized by ``utils.batching.pad_mel_batch`` (zero fill) and
+        each waveform is cut back to its own frames·hop samples.
+        Pad-invariant: zero-filled padding + the per-layer length
+        masking in ``generator_apply`` make row i's output equal
+        ``inference(mels[i])`` regardless of batch composition."""
         import numpy as np
 
-        from ..utils.batching import pad_mel_batch
+        from ..utils.batching import pad_mel_batch, pow2_bucket
 
         hop = 1
         for u in self.h.upsample_rates:
             hop *= u
         if len(mels) == 1:
             return [np.asarray(self.inference(mels[0]))]
+        if not hasattr(self, "_apply_masked"):
+            self._apply_masked = jax.jit(
+                lambda p, mel, lens: generator_apply(
+                    p, dict(self.h), mel, lengths=lens
+                )
+            )
+        lens = jnp.asarray(
+            [np.asarray(m).shape[1] for m in mels]
+            + [np.asarray(mels[-1]).shape[1]]
+            * (pow2_bucket(len(mels)) - len(mels)),
+            jnp.int32,
+        )
         wavs = np.asarray(
-            self._apply(self.params, jnp.asarray(pad_mel_batch(mels)))
+            self._apply_masked(
+                self.params,
+                jnp.asarray(pad_mel_batch(mels, fill="zero")),
+                lens,
+            )
         )
         return [
             wavs[i][: np.asarray(m).shape[1] * hop]

@@ -224,7 +224,8 @@ def upsample_apply(params, state, cfg: WaveRNNConfig, mels, *,
     ``use_upsample_net=False``: the reference's basic ``Upsample``
     (modules.py:95-115) — linear interpolation by ``hop_length`` with
     align_corners, trim ``pad·hop`` from both ends, scale by the
-    empirical 0.045; aux linearly interpolated, untrimmed."""
+    empirical 0.045; aux linearly interpolated from the resnet's
+    already-(2·pad)-trimmed frames, so its length equals mels_up's."""
     if not cfg.use_upsample_net:
         scale = cfg.hop_length
         aux = None
@@ -267,11 +268,20 @@ def upsample_apply(params, state, cfg: WaveRNNConfig, mels, *,
 # --------------------------------------------------------------------------
 
 def wavernn_forward(params, state, cfg: WaveRNNConfig, x, mels, *,
-                    train: bool = True):
+                    train: bool = False):
     """Teacher-forced training pass.
 
     x: (B, T) previous samples; mels: (B, n_mels, T_mel).
     Returns logits (B, T, n_classes).
+
+    Defaults to ``train=False``: the MelResNet batch-norms are treated
+    as FIXED preprocessing (module docstring of trainers/wavernn_train)
+    because this function returns only logits — under ``train=True`` it
+    would normalize with batch statistics while silently discarding the
+    running-stat updates, so training and generation would normalize
+    differently.  ``train=True`` exists for parity experiments that
+    thread state themselves; the shipped trainer and the generation
+    path both run ``train=False`` against the same frozen stats.
     """
     mels_up, aux = upsample_apply(
         params["upsample"], state["upsample"], cfg, mels, train=train
@@ -786,11 +796,13 @@ class WaveRNN:
             )(mels_up)                      # (B, n_pad, L, F)
             B, n_pad, L, F = folded.shape
             if aux is not None:
-                # basic-Upsample aux is untrimmed (longer than mels_up),
-                # which can bucket to more fold rows — keep mels' rows
+                # aux and mels_up have identical time lengths in BOTH
+                # upsampler modes (melresnet's valid conv already trims
+                # the 2·pad frames before interpolation), so the folds
+                # bucket identically
                 aux_folded = jax.vmap(
                     lambda a: _fold_device(a, target, overlap)[0]
-                )(aux)[:, :n_pad]
+                )(aux)
                 aux_flat = aux_folded.reshape(B * n_pad, L, -1)
             else:
                 aux_flat = None
@@ -1027,4 +1039,7 @@ def get_wavernn(device=None, **params):
     return WaveRNN(
         params=p, state=s, cfg=cfg,
         gen_dtype=params.get("gen_dtype", "bfloat16"),
+        # honor a configured backend like gen_dtype above — dropping it
+        # would silently auto-detect past an operator's explicit choice
+        gen_backend=params.get("gen_backend", "auto"),
     )

@@ -192,3 +192,37 @@ def test_infer_cumulative(experiment, tmp_path):
         os.path.join(ic2.path_manager.inference_path, "*.wav")
     )
     assert len(wavs2) == 6
+
+
+def test_cli_values_yaml_coerced(monkeypatch):
+    """--key value CLI overrides must reach params with params.yml
+    types: a string --infer_seed crashes PRNGKey, a string
+    --speaker_seed shuffles the continual stream differently than
+    training (breaking checkpoint lookup), and the string 'false' is
+    truthy."""
+    import sys
+
+    from msa_tts_tpu.infer import get_cmd_params
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--infer_seed", "1", "--speaker_seed", "0",
+        "--plot_loss_landscapes", "false", "--n_inner_test", "5",
+        "--speaker", "A,B", "--input_text", "hello there",
+        "--lr", "0.001",
+    ])
+    out = get_cmd_params()
+    assert out["infer_seed"] == 1 and isinstance(out["infer_seed"], int)
+    assert out["speaker_seed"] == 0
+    assert out["plot_loss_landscapes"] is False
+    assert out["n_inner_test"] == 5
+    assert out["speaker"] == "A,B"
+    assert out["input_text"] == "hello there"
+    # YAML-1.1 semantics, identical to writing the value in params.yml
+    # ("1e-3" without a dot would stay a string there too)
+    assert out["lr"] == pytest.approx(1e-3)
+    assert isinstance(out["lr"], float)
+
+    from msa_tts_tpu.infer_cumulative import get_cmd_params as gc2
+
+    monkeypatch.setattr(sys, "argv", ["prog", "--speaker_seed", "3"])
+    assert gc2()["speaker_seed"] == 3

@@ -398,9 +398,10 @@ def test_wavernn_bf16_generation_close_to_fp32(rng):
 
 def test_hifigan_inference_batch_matches_single(rng):
     """inference_batch pads/stacks variably-sized mels into one
-    generator pass and must agree with per-mel inference on the
-    unpadded regions (convs are local, so padding only perturbs a
-    receptive-field-sized tail — compare the interior exactly)."""
+    generator pass and must agree with per-mel inference over the FULL
+    waveform, tail included: zero-fill padding + per-layer length
+    masking reproduce the single path's implicit conv zero padding
+    exactly, so a request's audio cannot depend on its batchmates."""
     from msa_tts_tpu.vocoders.hifigan import HiFiGAN, init_generator
 
     params = init_generator(rng, H_TINY, n_mels=20)
@@ -413,15 +414,13 @@ def test_hifigan_inference_batch_matches_single(rng):
     hop = 16  # 4·4
     singles = [np.asarray(voc.inference(m)) for m in mels]
     batched = voc.inference_batch(mels)
-    # receptive field of the tiny config is well under 8 frames → 8·hop
-    guard = 8 * hop
     for s, b, m in zip(singles, batched, mels):
         n = m.shape[1] * hop
         assert b.shape == (n,)
-        np.testing.assert_allclose(
-            b[: n - guard], s[: n - guard], atol=1e-5,
-            err_msg=f"T={m.shape[1]}",
-        )
+        np.testing.assert_allclose(b, s, atol=1e-5, err_msg=f"T={m.shape[1]}")
+    # and batch composition must not matter: same mel, different partner
+    alt = voc.inference_batch([mels[0], mels[1][:, :17]])[0]
+    np.testing.assert_allclose(alt, batched[0], atol=1e-5)
 
 
 def test_resolve_kernel_backend_validates_choice():
