@@ -89,7 +89,13 @@ def apply_cli_overrides(params: dict, overrides: list[str]) -> dict:
         node = params
         parts = key.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                # an empty YAML section ("optim:") loads as None; an
+                # override into it should create the dict, not TypeError
+                nxt = {}
+                node[p] = nxt
+            node = nxt
         node[parts[-1]] = value
     return params
 

@@ -40,14 +40,23 @@ class CommonVoiceProcessor:
             for path, sentence in rows:
                 wav = os.path.splitext(path)[0] + ".wav"
                 src = os.path.join(self.ds_path, self.clips_folder, wav)
-                jobs.append((spk, src, sentence, wav))
+                # CommonVoice clips are FLAT under clips_wav/, but the
+                # training loader resolves <root>/wavs/<speaker>/<file>
+                # for multi-speaker metafiles (metafile.resolve_audio_
+                # path, reference dataloader_default.py:77-84) — so
+                # rewrite each clip into that layout (resampled to the
+                # training rate), the same mechanism prepare_vctk uses;
+                # otherwise the emitted metafile is untrainable.
+                dst = os.path.join(self.ds_path, "wavs", spk, wav)
+                jobs.append((spk, src, sentence, wav, dst))
         meta = run_pool(self._one, jobs, max_workers=self.workers)
         return write_metafile(self.ds_path, meta)
 
-    def _one(self, spk, src, transcript, wav_field):
+    def _one(self, spk, src, transcript, wav_field, dst):
         return process_utterance(
             spk, src, transcript,
             language=self.lang, target_sample_rate=22050,
+            resampled_path=dst,
             wav_field=wav_field, ensure_final_punct=True,
         )
 

@@ -401,18 +401,30 @@ def unpack_task_batch_single(batch, speaker_emb_type: str) -> dict:
 
 
 def coerce_cli_value(v: str):
-    """YAML-coerce one ``--key value`` CLI string so overrides get the
-    same types params.yml would give them: ``--infer_seed 1`` must reach
+    """Coerce one ``--key value`` CLI string so overrides get the same
+    types params.yml would give them: ``--infer_seed 1`` must reach
     PRNGKey as an int and ``--plot_loss_landscapes false`` must be the
-    boolean False, not a truthy string.  Anything unparseable stays a
+    boolean False, not a truthy string.  YAML-1.1 first (the exact
+    loader params.yml goes through), then ``config.literal`` for the
+    numeric spellings YAML leaves as strings (``1e-3`` — PyYAML's float
+    resolver wants a dot before the exponent).  Anything else stays a
     plain string (speaker lists like ``A,B``, free text)."""
     import yaml
+
+    from .config import literal
 
     try:
         parsed = yaml.safe_load(v)
     except yaml.YAMLError:
-        return v
-    return v if parsed is None and v.strip() not in ("null", "~", "") else parsed
+        parsed = None
+    if parsed is None and v.strip() not in ("null", "~", ""):
+        parsed = v
+    if isinstance(parsed, str):
+        lit = literal(parsed)
+        # take literal()'s result only when it found a real value —
+        # ast/float on free text returns the string unchanged anyway
+        return lit if not isinstance(lit, str) else parsed
+    return parsed
 
 
 def get_cmd_params() -> dict:

@@ -40,29 +40,56 @@ def make_optimizer(optim_cfg: dict) -> optax.GradientTransformation:
     if name == "adam":
         betas = _as_betas(kw.pop("betas", None))
         eps = float(kw.pop("eps", 1e-8))
+        amsgrad = bool(kw.pop("amsgrad", False))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        scale_fn = (
+            optax.scale_by_amsgrad if amsgrad else optax.scale_by_adam
+        )
+        chain.append(scale_fn(b1=betas[0], b2=betas[1], eps=eps))
     elif name == "adamw":
         betas = _as_betas(kw.pop("betas", None))
         eps = float(kw.pop("eps", 1e-8))
-        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        amsgrad = bool(kw.pop("amsgrad", False))
+        scale_fn = (
+            optax.scale_by_amsgrad if amsgrad else optax.scale_by_adam
+        )
+        chain.append(scale_fn(b1=betas[0], b2=betas[1], eps=eps))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
     elif name == "sgd":
         momentum = float(kw.pop("momentum", 0.0))
+        nesterov = bool(kw.pop("nesterov", False))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
         if momentum:
-            chain.append(optax.trace(decay=momentum, nesterov=False))
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        elif nesterov:
+            raise ValueError("SGD nesterov requires momentum > 0")
     elif name == "rmsprop":
         alpha = float(kw.pop("alpha", 0.99))
         eps = float(kw.pop("eps", 1e-8))
+        momentum = float(kw.pop("momentum", 0.0))
+        centered = bool(kw.pop("centered", False))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_rms(decay=alpha, eps=eps))
+        # centered → grad-stddev normalization (torch centered=True);
+        # momentum → torch's post-normalization velocity buffer
+        if centered:
+            chain.append(optax.scale_by_stddev(decay=alpha, eps=eps))
+        else:
+            chain.append(optax.scale_by_rms(decay=alpha, eps=eps))
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=False))
     else:
         raise ValueError(f"unknown optimizer: {name}")
+    if kw:
+        # silently dropping a torch option (nesterov, amsgrad, ...)
+        # would make training dynamics diverge from the reference run
+        # the config was copied from with no signal
+        raise ValueError(
+            f"unsupported {name} optimizer option(s): {sorted(kw)}"
+        )
     chain.append(optax.scale(-lr))
     return optax.chain(*chain)
 

@@ -113,6 +113,14 @@ class DynamicBatcher:
     ):
         self._synth = synth_fn
         self.max_batch = int(max_batch)
+        # a max_batch above the largest bucket would collect groups no
+        # bucket covers: bucket() would clamp DOWN and synthesize_batch
+        # would then run at the raw group size — one fresh XLA compile
+        # per distinct size 9..max_batch that warmup never pre-built.
+        # Extend the bucket ladder by powers of two instead.
+        batch_buckets = list(batch_buckets)
+        while max(batch_buckets) < self.max_batch:
+            batch_buckets.append(max(batch_buckets) * 2)
         self.window_s = float(window_ms) / 1e3
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.stats = stats or ServerStats()
@@ -488,6 +496,14 @@ def _make_handler(server: TTSServer):
                     f"available: {sorted(ok)}"
                 )
 
+        def _check_voice(self, name) -> None:
+            # validate at parse time → a client typo is a 400, not a
+            # 500 + server-side traceback from inside the batcher thread
+            try:
+                server._resolve_voice(name)
+            except (KeyError, ValueError) as e:
+                raise ValueError(str(e)) from e
+
         def _send_json(self, code: int, obj: dict) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -543,6 +559,7 @@ def _make_handler(server: TTSServer):
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
                 self._check_vocoder(req.get("vocoder", "griffinlim"))
+                self._check_voice(req.get("voice"))
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
@@ -577,6 +594,7 @@ def _make_handler(server: TTSServer):
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
                 self._check_vocoder(req.get("vocoder", "griffinlim"))
+                self._check_voice(req.get("voice"))
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})

@@ -27,6 +27,10 @@ def pad_mel_batch(
     consumer's padded run match its unpadded run exactly — the conv's
     implicit zero padding and the explicit zero frames are the same
     numbers (HiFiGAN.inference_batch)."""
+    if fill not in ("floor", "zero"):
+        # a typo ("zeros") silently falling back to floor fill would
+        # quietly break a conv consumer's zero-fill exactness contract
+        raise ValueError(f"unknown fill {fill!r}: expected 'floor' or 'zero'")
     arr = [np.asarray(m) for m in mels]
     B = len(arr)
     Bp = pow2_bucket(B)

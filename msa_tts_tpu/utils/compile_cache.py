@@ -28,6 +28,39 @@ def default_cache_dir() -> str:
     )
 
 
+def _cpu_only_host() -> bool:
+    """True when this process will run XLA:CPU only.
+
+    Checked in order: the JAX_PLATFORMS env var, the in-process
+    ``jax.config`` override (what ``dryrun_multichip`` sets), and —
+    only when neither names a platform — ``jax.default_backend()``.
+    The last check initializes the backend, which is safe exactly when
+    nothing points at a remote accelerator (a dead device relay would
+    hang it; with the env var set we never reach it)."""
+    for raw in (
+        os.environ.get("JAX_PLATFORMS", ""),
+        _jax_platforms_config(),
+    ):
+        plats = [p.strip().lower() for p in str(raw).split(",") if p.strip()]
+        if plats:
+            return all(p == "cpu" for p in plats)
+    try:
+        import jax
+
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover - env-dependent
+        return False
+
+
+def _jax_platforms_config() -> str:
+    try:
+        import jax
+
+        return jax.config.jax_platforms or ""
+    except Exception:  # pragma: no cover - old jax
+        return ""
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Point JAX's persistent compilation cache at ``path`` (default:
     ``$MSA_COMPILATION_CACHE_DIR`` or ``~/.cache/msa_tts_tpu/xla_cache``).
@@ -52,7 +85,7 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # under different flags.  The ~24-minute tax this cache exists for
     # is the TPU program set (BENCHMARKS.md recompile audit).
     explicit = path is not None or "MSA_COMPILATION_CACHE_DIR" in os.environ
-    if not explicit and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    if not explicit and _cpu_only_host():
         return None
     path = path or default_cache_dir()
     try:

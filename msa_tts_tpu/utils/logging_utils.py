@@ -16,8 +16,17 @@ from datetime import datetime
 
 class MetricsLogger:
     def __init__(self, logs_path: str, use_tensorboard: bool = True):
+        # the reference stamps runs at minute resolution
+        # (baseline.py:37-39); keep that name but uniquify when two runs
+        # start in the same minute (sequential trainers in one process —
+        # sweeps, continual streams, test suites) so their metrics.jsonl
+        # and TB event files don't interleave in one directory
         stamp = datetime.now().strftime("%d_%m-%H_%M")
         self.run_dir = os.path.join(logs_path, stamp)
+        n = 1
+        while os.path.exists(self.run_dir):
+            self.run_dir = os.path.join(logs_path, f"{stamp}.{n}")
+            n += 1
         os.makedirs(self.run_dir, exist_ok=True)
         self.jsonl_path = os.path.join(self.run_dir, "metrics.jsonl")
         self._jsonl = open(self.jsonl_path, "a", buffering=1)

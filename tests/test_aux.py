@@ -221,6 +221,14 @@ def test_prepare_comvoice_layout(tmp_path):
     lines = [l.strip().split("|") for l in open(meta)]
     assert len(lines) == 6
     assert {p[0] for p in lines} == {"c1", "c2"}
+    # The metafile must be TRAINABLE: the default loader resolves
+    # <root>/wavs/<speaker>/<filename> for multi-speaker metafiles, so
+    # the prep must have rewritten the flat clips into that layout.
+    from msa_tts_tpu.dataloaders.metafile import resolve_audio_path
+
+    for spk, fname, *_ in lines:
+        p = resolve_audio_path(root, "wavs", spk, fname, num_speakers=2)
+        assert os.path.exists(p), p
 
 
 @pytest.mark.slow
@@ -282,3 +290,55 @@ def test_g2p_reports_backend_and_degraded_warning(caplog):
         g2 = Grapheme2Phoneme(backend="fallback")
     assert g2.backend_name == "fallback"
     assert not caplog.records
+
+
+def test_make_optimizer_honors_torch_options():
+    """Reference configs carry torch optimizer options (nesterov,
+    amsgrad, rmsprop momentum/centered); dropping one silently would
+    diverge training dynamics from the reference run the config was
+    copied from, so they must either take effect or raise."""
+    import jax.numpy as jnp
+    import optax
+
+    from msa_tts_tpu.optim import make_optimizer
+
+    g = {"w": jnp.asarray([1.0, -2.0])}
+    p = {"w": jnp.zeros(2)}
+
+    def one_step(tx):
+        st = tx.init(p)
+        up, _ = tx.update(g, st, p)
+        return np.asarray(up["w"])
+
+    plain = one_step(make_optimizer(
+        {"optimizer_type": "SGD", "lr": 0.1, "momentum": 0.9}
+    ))
+    nest = one_step(make_optimizer(
+        {"optimizer_type": "SGD", "lr": 0.1, "momentum": 0.9,
+         "nesterov": True}
+    ))
+    assert not np.allclose(plain, nest)  # nesterov actually applied
+    # torch semantics on the first step: plain = -lr·g, nesterov = -lr·(1+μ)·g
+    np.testing.assert_allclose(plain, -0.1 * np.asarray(g["w"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        nest, -0.1 * 1.9 * np.asarray(g["w"]), rtol=1e-6
+    )
+
+    rms = one_step(make_optimizer(
+        {"optimizer_type": "RMSprop", "lr": 0.1, "momentum": 0.9,
+         "centered": True}
+    ))
+    assert np.isfinite(rms).all()
+    ams = one_step(make_optimizer(
+        {"optimizer_type": "Adam", "lr": 0.1, "amsgrad": True}
+    ))
+    assert np.isfinite(ams).all()
+
+    with pytest.raises(ValueError, match="bogus_opt"):
+        make_optimizer(
+            {"optimizer_type": "Adam", "lr": 0.1, "bogus_opt": 1}
+        )
+    with pytest.raises(ValueError, match="nesterov"):
+        make_optimizer(
+            {"optimizer_type": "SGD", "lr": 0.1, "nesterov": True}
+        )

@@ -208,7 +208,7 @@ def test_cli_values_yaml_coerced(monkeypatch):
         "prog", "--infer_seed", "1", "--speaker_seed", "0",
         "--plot_loss_landscapes", "false", "--n_inner_test", "5",
         "--speaker", "A,B", "--input_text", "hello there",
-        "--lr", "0.001",
+        "--lr", "1e-3",
     ])
     out = get_cmd_params()
     assert out["infer_seed"] == 1 and isinstance(out["infer_seed"], int)
@@ -217,8 +217,8 @@ def test_cli_values_yaml_coerced(monkeypatch):
     assert out["n_inner_test"] == 5
     assert out["speaker"] == "A,B"
     assert out["input_text"] == "hello there"
-    # YAML-1.1 semantics, identical to writing the value in params.yml
-    # ("1e-3" without a dot would stay a string there too)
+    # "1e-3" is a string under YAML-1.1 (needs a dot before the
+    # exponent); the config.literal fallback coerces it to the float
     assert out["lr"] == pytest.approx(1e-3)
     assert isinstance(out["lr"], float)
 

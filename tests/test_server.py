@@ -207,7 +207,8 @@ def test_http_server_end_to_end(tts):
         )
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(unk, timeout=60)
-        assert ei.value.code == 500
+        # unknown voice is a client error, validated at parse time
+        assert ei.value.code == 400
 
         with urllib.request.urlopen(base + "/voices", timeout=30) as r:
             assert json.loads(r.read())["voices"] == []
@@ -450,18 +451,19 @@ def test_streaming_requests_counted_in_stats(tts):
         assert snap["requests_total"] == 1
         assert snap["errors_total"] == 0
 
-        # unknown voice mid-setup → 500, recorded as an error
+        # unknown voice → 400 at parse time (not a 500 from the
+        # pipeline); parse-time rejections don't hit the synth stats
         conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
         conn2.request(
             "POST", "/synthesize_stream",
             json.dumps({"text": "hi", "voice": "ghost"}),
             {"Content-Type": "application/json"},
         )
-        assert conn2.getresponse().status == 500
+        assert conn2.getresponse().status == 400
         snap = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/stats", timeout=30).read())
-        assert snap["requests_total"] == 2
-        assert snap["errors_total"] == 1
+        assert snap["requests_total"] == 1
+        assert snap["errors_total"] == 0
     finally:
         server.stop()
 
@@ -517,3 +519,18 @@ def test_http_with_wavernn_vocoder(tts):
         assert body[:4] == b"RIFF" and len(body) > 100
     finally:
         server.stop()
+
+
+def test_max_batch_extends_bucket_ladder():
+    """--max_batch above the largest default bucket must extend the
+    ladder: otherwise a 9..16-request group snaps DOWN to bucket 8 and
+    synthesize_batch compiles one fresh XLA program per distinct raw
+    group size that warmup never pre-built."""
+    from msa_tts_tpu.server import DynamicBatcher
+
+    b = DynamicBatcher(lambda *a: [], max_batch=16)
+    assert max(b.batch_buckets) == 16
+    assert b.bucket(9) == 16
+    # default shape untouched when max_batch fits the ladder
+    b8 = DynamicBatcher(lambda *a: [], max_batch=8)
+    assert b8.batch_buckets == (1, 2, 4, 8)
