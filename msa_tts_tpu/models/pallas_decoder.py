@@ -183,7 +183,12 @@ def split_decoder_params(params, cfg: DecoderConfig):
         "gate_b": b(params["gate_layer"]["bias"]),
     }
     ap = cfg.attention_params
-    if ap.get("location_attention", True):
+    # key the repack on the SAME flag resolution the kernel body uses
+    # (_attn_flags forces loc_att=True for LSA, whose init always has a
+    # real location layer) — keying on the raw config here would emit
+    # zero location weights for an LSA config carrying
+    # location_attention=False while the kernel still computes with them
+    if _attn_flags(ap)["loc_att"]:
         lc = att["location_layer"]["location_conv1d"]["weight"]  # (F, 2, K)
         # per-tap filter rows: tap k of the previous-α / cumulative-α
         # channels, each (K, F) — the conv becomes K shifted outer adds
@@ -261,11 +266,14 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
     )
     norm, mask_energies = flags["norm"], flags["mask_energies"]
 
+    keep = 1.0 - cfg.p_prenet_dropout
+
     def step(t):
-        # prenet with the exact precomputed dropout masks
+        # prenet with the exact precomputed 0/1 dropout masks:
+        # (x/keep)·mask == where(mask, x/keep, 0) bit-for-bit (N.dropout)
         pm = pre_ref[t].astype(jnp.float32)       # (2, B, P)
-        x = jax.nn.relu(_dot(din_ref[:], w["pre1"][:])) * pm[0]
-        x = jax.nn.relu(_dot(x, w["pre2"][:])) * pm[1]
+        x = jax.nn.relu(_dot(din_ref[:], w["pre1"][:])) / keep * pm[0]
+        x = jax.nn.relu(_dot(x, w["pre2"][:])) / keep * pm[1]
         # attention LSTM (input = [prenet, context], split matmuls)
         ctx = ctx_ref[:]
         g4 = (
@@ -604,13 +612,15 @@ def _preprocess(params, cfg: DecoderConfig, encoder_outputs):
 
 def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int, start=0):
     """The prenet dropout masks ``decoder._infer_step`` would draw for
-    steps [start, start+S), up front: mask/keep multipliers (0 or
-    1/keep — exactly representable, so the kernel multiplies where the
-    XLA path selects), using the same fold_in(rng, step) → split →
-    fold_in(k_pre, layer) schedule, which is what makes kernel/XLA
-    outputs bit-comparable.  The ONE implementation serves both the
-    whole-loop and segment wrappers — the shared key schedule IS the
-    offline==streamed contract."""
+    steps [start, start+S), up front, as RAW 0/1 floats, using the same
+    fold_in(rng, step) → split → fold_in(k_pre, layer) schedule.  The
+    kernel computes ``(x / keep) · mask`` — bit-identical to the XLA
+    path's ``where(mask, x / keep, 0)`` for every keep value (a
+    premultiplied 1/keep mask would be 1 ulp off for non-dyadic keep
+    like 0.7, and the error compounds through the AR feedback until it
+    can flip a near-threshold gate).  The ONE implementation serves
+    both the whole-loop and segment wrappers — the shared key schedule
+    IS the offline==streamed contract."""
     keep = 1.0 - cfg.p_prenet_dropout
     P = cfg.prenet_dim
 
@@ -622,7 +632,6 @@ def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int, start=0):
                 jax.random.bernoulli(
                     jax.random.fold_in(k_pre, i), keep, (B, P)
                 ).astype(jnp.float32)
-                / keep
                 for i in range(2)
             ],
             axis=0,
@@ -658,17 +667,26 @@ def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
 
 def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
                            input_lengths, rng, state: dict, n_seg: int,
-                           *, interpret: bool = False):
+                           *, interpret: bool = False, prepacked_w=None):
     """Drop-in for :func:`decoder.decoder_infer_segment`: run ``n_seg``
     AR steps from the carried stream state inside one Pallas kernel.
     Same returns: ``(new_state, mels (B, n_mel, n_seg·r),
-    gates (B, n_seg), alignments (B, n_seg, T_in))``."""
+    gates (B, n_seg), alignments (B, n_seg, T_in))``.
+
+    ``prepacked_w``: the :func:`split_decoder_params` result, when the
+    caller can compute it ONCE per stream — inlined here it would
+    re-materialize transposed copies of every decoder weight inside
+    each segment's compiled program (serving.synthesize_stream passes
+    it; one-shot callers can omit it)."""
     from .attention import AttnState
     from .decoder import DecoderCarry
 
     B, T_in, _ = encoder_outputs.shape
     r = cfg.n_frames_per_step
-    w = split_decoder_params(params, cfg)
+    w = (
+        prepacked_w if prepacked_w is not None
+        else split_decoder_params(params, cfg)
+    )
     pinputs = _preprocess(params, cfg, encoder_outputs)
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     step0 = state["step"]

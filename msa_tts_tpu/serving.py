@@ -697,10 +697,11 @@ def synthesize_stream(
         # frozen at closure build would reuse the first call's T_in.
         want_pallas_seg = self.decode_backend == "pallas"
 
-        def seg_fn(p, enc, il, k, st):
-            p, _, _ = self._cast_infer(
-                p, {}, jnp.zeros((), jnp.float32)
-            )
+        def seg_fn(p, w, enc, il, k, st):
+            # p arrives pre-cast and w pre-split (ONCE per stream, by
+            # the caller below) — inlining either here would repeat the
+            # cast + transposed weight repack inside every segment's
+            # compiled program
             use_pallas = want_pallas_seg
             if use_pallas:
                 from .models.pallas_decoder import (
@@ -716,7 +717,8 @@ def synthesize_stream(
                 from .models.pallas_decoder import pallas_decoder_segment
 
                 st2, mels, gates, align = pallas_decoder_segment(
-                    p["decoder"], dcfg, enc, il, k, st, segment_steps
+                    p["decoder"], dcfg, enc, il, k, st, segment_steps,
+                    prepacked_w=w,
                 )
             else:
                 st2, mels, gates, align = decoder_infer_segment(
@@ -729,13 +731,32 @@ def synthesize_stream(
 
         self._stream_jits[key] = jax.jit(seg_fn)
     seg_jit = self._stream_jits[key]
+    p_cast, _, _ = self._cast_infer(params, {}, jnp.zeros((), jnp.float32))
+    if self.decode_backend == "pallas":
+        from .models.pallas_decoder import split_decoder_params
+
+        w_pre = jax.jit(
+            lambda pd: split_decoder_params(pd, dcfg)
+        )(p_cast["decoder"])
+    else:
+        w_pre = None
 
     enc_cond, _ = enc_jit(
         params, state, inputs, in_len, jnp.asarray(emb[None]),
         rng,
     )
     k_dec = jax.random.fold_in(rng, 2)
-    st = decoder_stream_init(dcfg, 1, enc_cond.shape[1], enc_cond.dtype)
+    # Pallas segments carry f32 state BETWEEN segments by design (AR
+    # exactness — pallas_decoder.py); seeding the stream with a bf16
+    # state would compile the jitted segment program twice per bucket
+    # (bf16-state signature for segment 1, f32 for the rest).  Start in
+    # f32 whenever the pallas backend is selected so one program serves
+    # every segment.
+    st_dtype = (
+        jnp.float32 if self.decode_backend == "pallas"
+        else enc_cond.dtype
+    )
+    st = decoder_stream_init(dcfg, 1, enc_cond.shape[1], st_dtype)
 
     hop = self.params["audio_params"].get(
         "hop_length", self.params["audio_params"].get("hop_size")
@@ -779,7 +800,9 @@ def synthesize_stream(
     produced = 0       # raw frames fed to the postnet
     emitted = 0        # exact frames forwarded to the vocoder
     while True:
-        st, mels, gates, _ = seg_jit(params, enc_cond, in_len, k_dec, st)
+        st, mels, gates, _ = seg_jit(
+            p_cast, w_pre, enc_cond, in_len, k_dec, st
+        )
         # ONE coalesced device→host fetch per segment: on a high-latency
         # device link (the reason _vocode is jitted — see above) separate
         # int()/np.asarray() pulls would each pay a full round trip,

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .wavernn import LOG_SCALE_MIN, WaveRNNConfig
 

@@ -335,3 +335,31 @@ def test_parity_lsa_attention():
     """LSA decodes through the same kernel body (recursion/agent off,
     masked energies) — parity vs the XLA lsa_attention path."""
     _parity(_cfg(ap={"attention_type": "LSA"}))
+
+
+def test_parity_non_dyadic_prenet_dropout():
+    """keep=0.7 is not exactly representable: the kernel must store RAW
+    0/1 masks and compute (x/keep)·mask — a premultiplied 1/keep mask
+    is 1 ulp off per prenet output and compounds through the AR
+    feedback.  Masks are checked to be 0/1 and the full decode stays in
+    parity at a non-dyadic dropout rate."""
+    from msa_tts_tpu.models.pallas_decoder import _prenet_masks
+
+    cfg = _cfg(p_prenet_dropout=0.3)
+    masks = np.asarray(
+        _prenet_masks(cfg, jax.random.PRNGKey(5), 4, 3)
+    )
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    _parity(cfg)
+
+
+def test_parity_lsa_ignores_location_attention_flag():
+    """An LSA config carrying location_attention=False (e.g. copied
+    from a ForwardAttention section) must still decode with the REAL
+    trained location weights: the weight repack has to follow the same
+    flag resolution as the kernel body (which forces loc_att=True for
+    LSA), not the raw config key — disagreement meant all-zero location
+    weights and silently different alignments."""
+    _parity(_cfg(ap={
+        "attention_type": "LSA", "location_attention": False,
+    }))
