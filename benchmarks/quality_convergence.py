@@ -34,7 +34,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 from msa_tts_tpu.models import (  # noqa: E402

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

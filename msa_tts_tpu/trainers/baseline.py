@@ -13,7 +13,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..dataloaders.loader_default import get_dataloader
@@ -242,8 +241,6 @@ class JointTrainer(TrainerBase):
 
     # -------------------------------------------------------- metatest
     def _metatest(self, epoch: int, rng):
-        from ..ops.metrics import mcd_batch
-
         for itr_b, (speakers, support, query) in enumerate(
             self.dataloader_metatest.iter_stacked()
         ):

@@ -15,7 +15,6 @@ Config is the standard HiFi-GAN JSON (``resblock``, ``upsample_rates``,
 from __future__ import annotations
 
 import json
-import math
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,6 @@ forward-attention masking, sigmoid normalization, LSA, r=2 inference,
 ap2 data pipeline."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

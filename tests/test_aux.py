@@ -298,7 +298,6 @@ def test_make_optimizer_honors_torch_options():
     diverge training dynamics from the reference run the config was
     copied from, so they must either take effect or raise."""
     import jax.numpy as jnp
-    import optax
 
     from msa_tts_tpu.optim import make_optimizer
 

@@ -8,7 +8,6 @@ reference cross-check; this test pins the core claim on a small budget).
 import os
 import sys
 
-import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow

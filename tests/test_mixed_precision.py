@@ -4,7 +4,6 @@ import json
 
 import jax
 import numpy as np
-import pytest
 
 from msa_tts_tpu.dataloaders.synthetic import (
     make_synthetic_corpus,

@@ -14,7 +14,7 @@ import types
 
 import pytest
 
-from test_g2p import _fake_espeak_line, _install_fake_espeak
+from test_g2p import _install_fake_espeak
 
 from msa_tts_tpu.utils.g2p.phonemize import (
     Separator,

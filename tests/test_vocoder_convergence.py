@@ -12,7 +12,6 @@ are beyond-reference capability, so this is their quality gate.
 import os
 import sys
 
-import numpy as np
 import pytest
 
 sys.path.insert(
