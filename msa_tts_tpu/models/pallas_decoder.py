@@ -90,6 +90,7 @@ def estimated_vmem_bytes(cfg: DecoderConfig, B: int, T_in: int,
     a config/batch whose footprint exceeds the budget routes back to
     the XLA while-loop instead of failing Mosaic's VMEM check at
     compile time (e.g. fp32 full dims at B≥8 with a 1000-step cap)."""
+    B = max(B, 2)   # B=1 runs padded to 2 (_dup_row0)
     ap = cfg.attention_params
     E, H, Hd, P = (
         cfg.encoder_embedding_dim, cfg.attention_rnn_dim,
@@ -125,6 +126,22 @@ def fits_vmem(cfg: DecoderConfig, B: int, T_in: int,
         )
         <= _VMEM_BUDGET
     )
+
+
+# Measured on v5e (benchmarks/pallas_decoder_bench.py, 2026-08-18,
+# 400 fixed steps, T=192): speedup vs the XLA while-loop is
+# B=1: 2.6×(bf16)/3.4×(f32), B=2: 2.6×/1.7×, B=4: 1.9×/1.6×,
+# B=8 and B=16: parity-or-worse (0.7-1.1× across repeats) — the
+# single-kernel VPU serializes the (B, T, A) attention work that XLA
+# spreads across cores once the batch is large enough to hide the
+# weight re-reads.  `auto` routes larger batches back to XLA.
+_MAX_PROFITABLE_B = 4
+
+
+def profitable(B: int) -> bool:
+    """True when the whole-loop kernel beats the XLA decode at batch
+    ``B`` on the measured hardware envelope."""
+    return B <= _MAX_PROFITABLE_B
 
 
 # --------------------------------------------------------------------------
@@ -268,6 +285,13 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
 
     keep = 1.0 - cfg.p_prenet_dropout
 
+    def b3(x, shape, dims):
+        # Mosaic-lowerable rank expansion: jnp's `x[:, None, :]` falls
+        # through JAX's slice rewrite into lax.gather (newaxis disables
+        # the rewrite — numpy/indexing.py), which the TPU kernel
+        # lowering rejects.  broadcast_in_dim lowers directly.
+        return jax.lax.broadcast_in_dim(x, shape, dims)
+
     def step(t):
         # prenet with the exact precomputed 0/1 dropout masks:
         # (x/keep)·mask == where(mask, x/keep, 0) bit-for-bit (N.dropout)
@@ -291,25 +315,40 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
             cat_c = jnp.concatenate([zpad, cum_ref[:], zpad], axis=1)
             wp = w["loc_prev"][:].astype(jnp.float32)  # (K, F)
             wc = w["loc_cum"][:].astype(jnp.float32)
-            loc = jnp.zeros((B, T_in, wp.shape[1]), jnp.float32)
+            F = wp.shape[1]
+            Tp = T_in + 2 * pad_l
+            # Broadcast the padded vectors to (B, Tp, F) ONCE at lane
+            # offset 0, then take the K shifted windows as 3-D sublane
+            # slices — broadcasting each lane-offset 2-D slice instead
+            # hits Mosaic's unsupported offset-vector reshape.
+            cp3 = b3(cat_p, (B, Tp, F), (0, 1))
+            cc3 = b3(cat_c, (B, Tp, F), (0, 1))
+            loc = jnp.zeros((B, T_in, F), jnp.float32)
             for k in range(K):                     # static unroll
+                sp3 = jax.lax.slice_in_dim(cp3, k, k + T_in, axis=1)
+                sc3 = jax.lax.slice_in_dim(cc3, k, k + T_in, axis=1)
+                wpk = jax.lax.slice_in_dim(wp, k, k + 1, axis=0)  # (1, F)
+                wck = jax.lax.slice_in_dim(wc, k, k + 1, axis=0)
                 loc = loc + (
-                    cat_p[:, k: k + T_in, None] * wp[k][None, None, :]
-                    + cat_c[:, k: k + T_in, None] * wc[k][None, None, :]
+                    sp3 * b3(wpk, (B, T_in, F), (1, 2))
+                    + sc3 * b3(wck, (B, T_in, F), (1, 2))
                 )
             ploc = jax.lax.dot_general(
                 loc.astype(w["loc_dense"].dtype), w["loc_dense"][:],
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                      # (B, T, A)
-            pre_tanh = pq[:, None, :] + ploc + pin_ref[:].astype(
-                jnp.float32
-            )
+            A = ploc.shape[-1]
+            pre_tanh = b3(pq, (B, T_in, A), (0, 2)) + ploc + pin_ref[
+                :
+            ].astype(jnp.float32)
         else:
-            pre_tanh = pq[:, None, :] + pin_ref[:].astype(jnp.float32)
+            pin = pin_ref[:].astype(jnp.float32)
+            A = pin.shape[-1]
+            pre_tanh = b3(pq, (B, T_in, A), (0, 2)) + pin
         vv = w["v_w"][:].astype(jnp.float32)       # (1, A)
         e = jnp.sum(
-            jnp.tanh(pre_tanh) * vv[None, :, :], axis=-1
+            jnp.tanh(pre_tanh) * b3(vv, (B, T_in, A), (1, 2)), axis=-1
         ) + w["v_b"][0, 0]                         # (B, T)
         if mask_energies:
             e = jnp.where(mask_ref[:] > 0, e, MASK_VALUE)
@@ -330,8 +369,12 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
             align = a / jnp.sum(a, axis=1, keepdims=True)
             alpha_ref[:] = align
         aw_ref[:] = align
+        # context = Σ_t align·enc (Mosaic's dot lowering rejects batch
+        # dims, so the batched (1,T)·(T,E) einsum is a broadcast-sum)
+        enc = enc_ref[:].astype(jnp.float32)       # (B, T, E)
+        E = enc.shape[-1]
         ctx = jnp.sum(
-            align[:, :, None] * enc_ref[:].astype(jnp.float32), axis=1
+            b3(align, (B, T_in, E), (0, 1)) * enc, axis=1
         )                                          # (B, E)
         ctx_ref[:] = ctx
         if fwd and tagent:
@@ -355,17 +398,21 @@ def _bind_step(cfg: DecoderConfig, B: int, T_in: int, w,
         gate = (
             _dot(dh, w["gate_h"][:]) + _dot(ctx, w["gate_c"][:])
             + w["gate_b"][:]
-        )[:, 0]                                    # (B,)
+        )                                          # (B, 1)
         dec = (
             jax.nn.sigmoid(gate) <= cfg.gate_threshold
-        ).astype(jnp.float32)
-        nf = nf_ref[:, 0] * dec
-        nf_ref[:, 0] = nf
-        mlen_ref[:, 0] = mlen_ref[:, 0] + nf.astype(jnp.int32)
+        ).astype(jnp.float32)                      # (B, 1)
+        # Mosaic can't reduce rank-1 vectors: keep the finished mask at
+        # its full (B, 8) scratch width (all lanes identical) so the
+        # alive count is a rank-2 reduction.
+        nf = nf_ref[:] * b3(dec, nf_ref.shape, (0, 1))
+        nf_ref[:] = nf
+        mlen_ref[:] = mlen_ref[:] + nf.astype(jnp.int32)
         mels_ref[t] = mel
-        gates_ref[t, :] = gate
+        gates_ref[t, :] = gate[:, 0]
         aligns_ref[t] = align
         din_ref[:] = mel
+        # 8× the unfinished count — callers only test sign
         return jnp.sum(nf).astype(jnp.int32)
 
     return step
@@ -538,8 +585,14 @@ def make_pallas_decoder_segment(cfg: DecoderConfig, B: int, T_in: int,
         ):
             ref[:] = src[:]
         u_ref[:, :1] = st_in[9][:]
-        nf_ref[:, :1] = nf_in[:].astype(jnp.float32)   # (B, 1) i32 in
-        mlen_ref[:, :1] = mlen_in[:]
+        # fill ALL lanes of the (B, 8) masks — the step now updates and
+        # reduces full-width (scratch is uninitialized VMEM otherwise)
+        nf_ref[:] = jax.lax.broadcast_in_dim(
+            nf_in[:].astype(jnp.float32), nf_ref.shape, (0, 1)
+        )
+        mlen_ref[:] = jax.lax.broadcast_in_dim(
+            mlen_in[:], mlen_ref.shape, (0, 1)
+        )
 
         step = _bind_step(
             cfg, B, T_in, w, enc_ref, pin_ref, mask_ref, pre_ref,
@@ -640,6 +693,19 @@ def _prenet_masks(cfg: DecoderConfig, rng, S: int, B: int, start=0):
     return jax.vmap(step_masks)(jnp.arange(S) + start)  # (S, 2, B, P)
 
 
+def _dup_row0(x, axis: int):
+    """Pad a per-utterance axis from 1 to 2 by duplicating row 0.
+
+    Mosaic mis-lays-out B=1 kernels (a rank-3 reduction at B=1 yields an
+    implicit-dim vector the softmax can't relayout), so single-utterance
+    decodes run as B=2 with an identical twin row — same compute tiles
+    (the sublane tile is 8 either way), same gate-stopping step, outputs
+    sliced back to B=1.  The twin uses the SAME prenet-dropout masks as
+    row 0, keeping the kernel bit-consistent with the XLA path's B=1
+    noise draw."""
+    return jnp.concatenate([x, x], axis=axis)
+
+
 def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
                          input_lengths, rng, *, interpret: bool = False):
     """Drop-in for :func:`decoder.decoder_infer` (inference path) running
@@ -653,10 +719,21 @@ def pallas_decoder_infer(params, cfg: DecoderConfig, encoder_outputs,
     pinputs = _preprocess(params, cfg, encoder_outputs)
     maskf = sequence_mask(input_lengths, T_in).astype(jnp.float32)
     pre_masks = _prenet_masks(cfg, rng, S, B)
+    pad1 = B == 1   # also in interpret mode: tests cover the padded path
+    if pad1:
+        encoder_outputs = _dup_row0(encoder_outputs, 0)
+        pinputs = _dup_row0(pinputs, 0)
+        maskf = _dup_row0(maskf, 0)
+        pre_masks = _dup_row0(pre_masks, 2)
+        B = 2
     run = make_pallas_decoder_infer(cfg, B, T_in, interpret=interpret)
     mels, gates, aligns, ml, ns = run(
         w, encoder_outputs, pinputs, maskf, pre_masks
     )
+    if pad1:
+        B = 1
+        mels, gates, aligns = mels[:, :1], gates[:, :1], aligns[:, :1]
+        ml = ml[:, :1]
     mel_outputs = jnp.swapaxes(mels, 0, 1)            # (B, S, MR)
     mel_outputs = mel_outputs.reshape(B, S * r, cfg.n_mel_channels)
     mel_outputs = jnp.swapaxes(mel_outputs, 1, 2)
@@ -703,17 +780,33 @@ def pallas_decoder_segment(params, cfg: DecoderConfig, encoder_outputs,
         f32(ast.attention_weights), f32(ast.attention_weights_cum),
         f32(ast.alpha), f32(ast.u),
     )
+    nf_in = state["not_finished"].astype(jnp.int32)[:, None]
+    mlen_in = state["mel_lengths"].astype(jnp.int32)[:, None]
+    pad1 = B == 1   # also in interpret mode: tests cover the padded path
+    if pad1:
+        encoder_outputs = _dup_row0(encoder_outputs, 0)
+        pinputs = _dup_row0(pinputs, 0)
+        maskf = _dup_row0(maskf, 0)
+        pre_masks = _dup_row0(pre_masks, 2)
+        st_in = tuple(_dup_row0(x, 0) for x in st_in)
+        nf_in, mlen_in = _dup_row0(nf_in, 0), _dup_row0(mlen_in, 0)
+        B = 2
     run = make_pallas_decoder_segment(
         cfg, B, T_in, n_seg, interpret=interpret
     )
     outs = run(
         w, encoder_outputs, pinputs, maskf, pre_masks,
-        state["not_finished"].astype(jnp.int32)[:, None],
-        state["mel_lengths"].astype(jnp.int32)[:, None],
-        *st_in,
+        nf_in, mlen_in, *st_in,
     )
     mels, gates, aligns, nf, mlen = outs[:5]
     (din, ah, ac, dh, dc, ctx, aw, cum, alpha, u) = outs[5:]
+    if pad1:
+        B = 1
+        mels, gates, aligns = mels[:, :1], gates[:, :1], aligns[:, :1]
+        nf, mlen = nf[:1], mlen[:1]
+        (din, ah, ac, dh, dc, ctx, aw, cum, alpha, u) = (
+            x[:1] for x in (din, ah, ac, dh, dc, ctx, aw, cum, alpha, u)
+        )
     # State stays f32 between segments regardless of the encoder/weight
     # dtype: the offline whole-loop kernel carries f32 VMEM state for
     # every step, and truncating the LSTM cells to bf16 at each segment

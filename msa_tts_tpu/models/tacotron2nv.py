@@ -319,12 +319,16 @@ def tacotron2nv_infer(
     dcfg = cfg.decoder_config()
     use_pallas = decoder_backend == "pallas" and not train
     if use_pallas:
-        from .pallas_decoder import fits_vmem, supports_config
+        from .pallas_decoder import fits_vmem, profitable, supports_config
 
         B_, T_ = enc_cond.shape[0], enc_cond.shape[1]
-        use_pallas = supports_config(dcfg) and fits_vmem(
-            dcfg, B_, T_,
-            params["decoder"]["attention_rnn"]["weight_ih"].dtype,
+        use_pallas = (
+            supports_config(dcfg)
+            and profitable(B_)
+            and fits_vmem(
+                dcfg, B_, T_,
+                params["decoder"]["attention_rnn"]["weight_ih"].dtype,
+            )
         )
     if use_pallas:
         from .pallas_decoder import pallas_decoder_infer

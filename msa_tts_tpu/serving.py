@@ -705,13 +705,17 @@ def synthesize_stream(
             use_pallas = want_pallas_seg
             if use_pallas:
                 from .models.pallas_decoder import (
-                    fits_vmem, supports_config,
+                    fits_vmem, profitable, supports_config,
                 )
 
-                use_pallas = supports_config(dcfg) and fits_vmem(
-                    dcfg._replace(max_decoder_steps=segment_steps),
-                    int(enc.shape[0]), int(enc.shape[1]),
-                    p["decoder"]["attention_rnn"]["weight_ih"].dtype,
+                use_pallas = (
+                    supports_config(dcfg)
+                    and profitable(int(enc.shape[0]))
+                    and fits_vmem(
+                        dcfg._replace(max_decoder_steps=segment_steps),
+                        int(enc.shape[0]), int(enc.shape[1]),
+                        p["decoder"]["attention_rnn"]["weight_ih"].dtype,
+                    )
                 )
             if use_pallas:
                 from .models.pallas_decoder import pallas_decoder_segment
