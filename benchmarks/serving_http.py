@@ -58,6 +58,14 @@ def build_tts(max_decoder_steps: int = 400):
     params["model"] = mp
     cfg = config_from_params(mp)
     p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    # Random-init gate logits sit near 0, so fp noise decides whether
+    # the stop gate fires at step 0 — when it does, outputs trim to one
+    # frame and every timing row measures vocoding ~nothing (a previous
+    # run's numbers then aren't comparable).  Bias the gate hard
+    # negative so the decode deterministically runs to the step cap.
+    p0["decoder"]["gate_layer"]["bias"] = (
+        p0["decoder"]["gate_layer"]["bias"] - 10.0
+    )
     return AdaptiveTTS(params, p0, s0)
 
 
