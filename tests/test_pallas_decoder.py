@@ -155,6 +155,16 @@ def test_vmem_gate_routes_large_configs_to_xla():
     assert fits_vmem(_cfg(), 3, 11, jnp.float32)
 
 
+def test_profitability_gate_routes_large_batches_to_xla():
+    """`decode_backend: auto` uses the kernel only where the v5e
+    measurements show it wins (B≤4 — BENCHMARKS.md); larger batches go
+    back to the XLA while-loop even when they'd fit in VMEM."""
+    from msa_tts_tpu.models.pallas_decoder import profitable
+
+    assert profitable(1) and profitable(2) and profitable(4)
+    assert not profitable(8) and not profitable(16)
+
+
 @pytest.mark.slow
 def test_vmem_gate_falls_back_inside_infer():
     """tacotron2nv_infer with decoder_backend='pallas' but an
