@@ -30,6 +30,7 @@ from __future__ import annotations
 import io
 import json
 import queue
+import logging
 import threading
 import time
 from collections import deque
@@ -246,6 +247,8 @@ class TTSServer:
         batch_buckets: Sequence[int] = (1, 2, 4, 8),
         text_pad_multiple: int = 16,
         request_timeout_s: float = 300.0,
+        stream_multiplex: int = 0,
+        stream_mux_t_cap: int = 128,
     ):
         self.tts = tts
         self.host = host
@@ -263,6 +266,25 @@ class TTSServer:
             self._synth_group, max_batch=max_batch, window_ms=window_ms,
             batch_buckets=batch_buckets, stats=self.stats,
         )
+        # stream_multiplex=N decodes up to N concurrent /synthesize_stream
+        # requests in ONE segment-kernel call per tick (continuous
+        # batching — stream_mux.py) instead of time-slicing the device;
+        # adapted voices / over-cap texts / unsupported attention configs
+        # fall back to the per-stream path automatically.
+        self.stream_mux = None
+        if stream_multiplex:
+            from .stream_mux import StreamMultiplexer
+
+            try:
+                self.stream_mux = StreamMultiplexer(
+                    tts, n_slots=int(stream_multiplex),
+                    t_cap=int(stream_mux_t_cap),
+                    device_lock=self._device_lock,
+                )
+            except ValueError as e:   # unsupported attention config
+                logging.getLogger(__name__).warning(
+                    "stream multiplexing disabled: %s", e
+                )
         self._httpd: ThreadingHTTPServer | None = None
         self._http_thread: threading.Thread | None = None
 
@@ -292,6 +314,8 @@ class TTSServer:
             self._http_thread.join(timeout=30)
             self._http_thread = None
         self.batcher.stop()
+        if self.stream_mux is not None:
+            self.stream_mux.close()
 
     @property
     def port(self) -> int:
@@ -371,8 +395,24 @@ class TTSServer:
         The lock is taken per ``next()`` — i.e. around the device work
         that produces each chunk — and RELEASED while the caller writes
         to the client socket, so one slow streaming client cannot wedge
-        the batcher's /synthesize traffic behind a held lock."""
+        the batcher's /synthesize traffic behind a held lock.
+
+        With ``stream_multiplex=N`` concurrent streams decode together
+        in one segment-kernel call per tick (stream_mux.py); adapted
+        voices (per-voice params can't share the batched weights) and
+        over-cap texts fall back to the per-stream path."""
         voice, spk_emb = self._resolve_voice(voice_name)
+        if (self.stream_mux is not None and voice is None
+                and spk_emb is not None):
+            try:                    # eager validation — no chunks yet
+                muxed = self.stream_mux.stream(
+                    text, spk_emb=spk_emb, vocoder=vocoder
+                )
+            except ValueError:      # text longer than the mux t_cap
+                muxed = None
+            if muxed is not None:
+                yield from muxed
+                return
         # Bucket the padded text length like the batched path so a
         # deployment compiles a bounded set of stream programs (padding
         # is masked out of the math — serving.py:synthesize_stream)
@@ -431,6 +471,10 @@ def main(argv=None):
     ap.add_argument("--speaker", default=None)
     ap.add_argument("--voices_dir", default=None)
     ap.add_argument("--warmup_text", action="append", default=None)
+    ap.add_argument("--stream_multiplex", type=int, default=0,
+                    help="decode up to N concurrent /synthesize_stream "
+                         "requests in one batched segment call "
+                         "(continuous batching; 0 = per-stream)")
     args = ap.parse_args(argv)
 
     from .utils.compile_cache import enable_compilation_cache
@@ -457,6 +501,7 @@ def main(argv=None):
     server = TTSServer(
         tts, host=args.host, port=args.port, default_spk_emb=emb,
         window_ms=args.window_ms, max_batch=args.max_batch,
+        stream_multiplex=args.stream_multiplex,
     )
     if args.voices_dir:
         for p in sorted(glob.glob(os.path.join(args.voices_dir,
@@ -533,6 +578,10 @@ def _make_handler(server: TTSServer):
                     "decode_backend": server.tts.decode_backend,
                     "vocoder_backends": voc_backends,
                     "dp": getattr(server.tts, "_dp", 1),
+                    "stream_multiplex": (
+                        server.stream_mux.B
+                        if server.stream_mux is not None else 0
+                    ),
                 })
             elif self.path == "/stats":
                 self._send_json(200, server.stats.snapshot())

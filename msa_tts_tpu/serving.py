@@ -587,6 +587,173 @@ def _postnet_ctx(cfg) -> int:
     return cfg.postnet_n_convolutions * (cfg.postnet_kernel_size // 2)
 
 
+def _stream_cursor(self, params, state, post_jit, vocoder, rng,
+                   segment_steps, chunk_frames, vocode_ctx_frames):
+    """One stream's host-side stage stack (postnet → vocoder →
+    :class:`_StreamCursor`), shared by :meth:`synthesize_stream` and the
+    multiplexer so both produce byte-identical per-stream pipelines."""
+    cfg = self.cfg
+    r = cfg.n_frames_per_step
+    hop = self.params["audio_params"].get(
+        "hop_length", self.params["audio_params"].get("hop_size")
+    )
+    # One compiled postnet program per segment_steps: windows are padded
+    # to the widest a segment stream can produce (left ctx + held-back
+    # ctx + a segment's raw frames + final-push zeros ≤ 3·ctx) and the
+    # true width is masked inside the jit (postnet_apply(width=...)), so
+    # the data-dependent final residue never compiles at request time.
+    pctx = _postnet_ctx(cfg)
+    post = _StreamingPostnet(
+        lambda w, n: post_jit(
+            params, state, jnp.asarray(w), jnp.asarray(n, jnp.int32)
+        ),
+        pctx,
+        pad_to=segment_steps * r + 3 * pctx,
+    )
+    if vocoder == "none":      # stream exact mel chunks directly
+        class voc:  # noqa: N801 - tiny inline namespace
+            @staticmethod
+            def push(mel, final=False):
+                if mel is not None and mel.shape[-1]:
+                    yield mel
+    else:
+        if vocoder in ("griffinlim", "wavernn") and vocode_ctx_frames < 1:
+            # Griffin-Lim (centered-istft tail trim) and WaveRNN
+            # (generate_batch returns (W-1)·hop samples for a W-frame
+            # window) both come up one hop short per window; with zero
+            # context every non-final chunk would silently lose a hop
+            raise ValueError(
+                f"vocoder={vocoder!r} needs vocode_ctx_frames >= 1"
+            )
+        voc = _StreamingVocoder(
+            lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
+            hop, chunk_frames, vocode_ctx_frames,
+            # hifigan's generator emits exactly W·hop samples; the other
+            # two emit (W-1)·hop (see the ValueError above)
+            tail_frames=0 if vocoder == "hifigan" else 1,
+        )
+    return _StreamCursor(cfg, r, post, voc)
+
+
+def _encpost_jits(self):
+    """The streaming encoder and width-masked postnet jits, built once
+    per :class:`AdaptiveTTS` and shared by :meth:`synthesize_stream`
+    and the stream multiplexer (stream_mux.py) — both must run the
+    exact same encode/postnet programs for their outputs to chain.
+
+    infer_dtype casts mirror the offline _infer jit so streamed mel
+    stays the exact offline mel: the encoder/decoder run in the compute
+    dtype end-to-end (enc_cond and the carried stream state stay bf16
+    between segments), the postnet re-casts its host-fp32 input (fp32
+    holds bf16 exactly, so the round-trip is lossless), and everything
+    returns fp32 to the host."""
+    from .models.tacotron2nv import _encode, postnet_apply
+
+    if not hasattr(self, "_stream_jits"):
+        self._stream_jits = {}
+    if "encpost" not in self._stream_jits:
+        cfg = self.cfg
+
+        def enc_fn(p, s, i, il, sv, k):
+            p, s, sv = self._cast_infer(p, s, sv)
+            return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
+
+        def post_fn(p, s, x, width):
+            p, s, _ = self._cast_infer(p, s, jnp.zeros((), jnp.float32))
+            if self._infer_dtype is not None:
+                x = x.astype(self._infer_dtype)
+            res, _ = postnet_apply(
+                p["postnet"], s["postnet"], x, rng=None, train=False,
+                kernel_size=cfg.postnet_kernel_size, width=width,
+            )
+            return (x + res).astype(jnp.float32)
+
+        self._stream_jits["encpost"] = (jax.jit(enc_fn), jax.jit(post_fn))
+    return self._stream_jits["encpost"]
+
+
+class _StreamCursor:
+    """Per-stream host-side segment bookkeeping: raw decoder frames →
+    (postnet-exact, offline-trimmed, vocoded) wav chunks.
+
+    Shared verbatim by :meth:`AdaptiveTTS.synthesize_stream` (one
+    stream) and :class:`msa_tts_tpu.stream_mux.StreamMultiplexer`
+    (one cursor per slot) so the offline-equivalence contract — what
+    frames the postnet sees, where the output is trimmed, when the
+    stream ends — cannot diverge between the two."""
+
+    def __init__(self, cfg, r: int, post: "_StreamingPostnet", voc):
+        self.cfg = cfg
+        self.r = int(r)
+        self.post = post
+        self.voc = voc
+        self.produced = 0   # raw frames fed to the postnet
+        self.emitted = 0    # exact frames forwarded to the vocoder
+
+    def advance(self, raw: np.ndarray, ml: int, finished: bool,
+                n_steps: int):
+        """Consume one segment's raw frames; returns
+        ``(wav_chunk_iterator, final)``.
+
+        ``raw``: (n_mel, seg·r) this segment's decoder output;
+        ``ml``: the stream's mel_lengths counter; ``finished``: the
+        gate has fired; ``n_steps``: total decoder steps taken."""
+        cfg, r, post, voc = self.cfg, self.r, self.post, self.voc
+        at_cap = n_steps >= cfg.max_decoder_steps
+        raw = np.asarray(raw)                        # (n_mel, seg·r)
+        # The segment scan decodes in fixed ``segment_steps`` strides,
+        # so it can overshoot max_decoder_steps by up to seg−1 steps the
+        # offline while-loop never runs — drop those frames and their
+        # mel_lengths increments (per-step +1, so min() reproduces the
+        # offline count exactly)
+        cap_frames = cfg.max_decoder_steps * r
+        if self.produced + raw.shape[-1] > cap_frames:
+            raw = raw[:, : max(0, cap_frames - self.produced)]
+        L = min(max(ml, 1) * r, cap_frames)
+        if finished:
+            # offline trims output to mel_lengths·r frames regardless of
+            # early_stopping (synthesize above).  The postnet must see
+            # the same raw context offline saw beyond L:
+            #   early_stopping=True  — the while-loop exits once every
+            #     gate fired, so the buffer holds mel_lengths+1 real
+            #     steps (the firing step still writes its frame — for a
+            #     step-0 gate that's 1 real step at mel_lengths=0) and
+            #     literal zeros beyond; feed exactly those real frames,
+            #     then explicit zeros out to L+ctx so every emitted
+            #     frame's receptive field holds what offline's buffer
+            #     held (conv zero-PADDING is not the same as zero INPUT
+            #     frames past the first conv layer);
+            #   early_stopping=False — offline decodes to the step cap,
+            #     so frames past L are REAL context → keep decoding
+            #     until every vocoded frame (< L) has its true postnet
+            #     receptive field, then stop (decoding further changes
+            #     nothing the client hears).
+            if cfg.early_stopping:
+                need = min(ml + 1, cfg.max_decoder_steps) * r
+            else:
+                need = min(L + post.ctx, cap_frames)
+            final = at_cap or (self.produced + raw.shape[-1] >= need)
+            if final:
+                raw = raw[:, : max(0, need - self.produced)]
+                n_zero = min(L + post.ctx, cap_frames) - need
+                if n_zero > 0:
+                    raw = np.concatenate(
+                        [raw,
+                         np.zeros((raw.shape[0], n_zero), raw.dtype)],
+                        axis=-1,
+                    )
+        else:
+            final = at_cap
+        self.produced += raw.shape[-1]
+        exact = post.push(raw, final=final)
+        # vocoder sees ≤ L·r total — while un-finished L == produced,
+        # and once the gate fires L freezes (offline trim), so post-gate
+        # frames never reach the client even with early_stopping off
+        take = max(0, min(exact.shape[-1], L - self.emitted))
+        self.emitted += take
+        return voc.push(exact[:, :take], final=final), final
+
+
 def synthesize_stream(
     self,
     text: str,
@@ -657,35 +824,7 @@ def synthesize_stream(
     dcfg = cfg.decoder_config()
     r = cfg.n_frames_per_step
 
-    if not hasattr(self, "_stream_jits"):
-        self._stream_jits = {}
-    # The encoder/postnet jits are segment-length-independent; only the
-    # segment function closes over segment_steps.  Keying them apart
-    # avoids re-tracing identical encoder/postnet programs per distinct
-    # segment_steps value.
-    if "encpost" not in self._stream_jits:
-        # infer_dtype casts mirror the offline _infer jit so streamed
-        # mel stays the exact offline mel: the encoder/decoder run in
-        # the compute dtype end-to-end (enc_cond and the carried stream
-        # state stay bf16 between segments), the postnet re-casts its
-        # host-fp32 input (fp32 holds bf16 exactly, so the round-trip
-        # is lossless), and everything returns fp32 to the host.
-        def enc_fn(p, s, i, il, sv, k):
-            p, s, sv = self._cast_infer(p, s, sv)
-            return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
-
-        def post_fn(p, s, x, width):
-            p, s, _ = self._cast_infer(p, s, jnp.zeros((), jnp.float32))
-            if self._infer_dtype is not None:
-                x = x.astype(self._infer_dtype)
-            res, _ = postnet_apply(
-                p["postnet"], s["postnet"], x, rng=None, train=False,
-                kernel_size=cfg.postnet_kernel_size, width=width,
-            )
-            return (x + res).astype(jnp.float32)
-
-        self._stream_jits["encpost"] = (jax.jit(enc_fn), jax.jit(post_fn))
-    enc_jit, post_jit = self._stream_jits["encpost"]
+    enc_jit, post_jit = _encpost_jits(self)
     key = ("seg", segment_steps, self.decode_backend)
     if key not in self._stream_jits:
         # decode_backend=pallas streams through the segment variant of
@@ -765,44 +904,10 @@ def synthesize_stream(
     hop = self.params["audio_params"].get(
         "hop_length", self.params["audio_params"].get("hop_size")
     )
-    # One compiled postnet program per segment_steps: windows are padded
-    # to the widest a segment stream can produce (left ctx + held-back
-    # ctx + a segment's raw frames + final-push zeros ≤ 3·ctx) and the
-    # true width is masked inside the jit (postnet_apply(width=...)), so
-    # the data-dependent final residue never compiles at request time.
-    pctx = _postnet_ctx(cfg)
-    post = _StreamingPostnet(
-        lambda w, n: post_jit(
-            params, state, jnp.asarray(w), jnp.asarray(n, jnp.int32)
-        ),
-        pctx,
-        pad_to=segment_steps * r + 3 * pctx,
+    cursor = _stream_cursor(
+        self, params, state, post_jit, vocoder, rng,
+        segment_steps, chunk_frames, vocode_ctx_frames,
     )
-    if vocoder == "none":      # stream exact mel chunks directly
-        class voc:  # noqa: N801 - tiny inline namespace
-            @staticmethod
-            def push(mel, final=False):
-                if mel is not None and mel.shape[-1]:
-                    yield mel
-    else:
-        if vocoder in ("griffinlim", "wavernn") and vocode_ctx_frames < 1:
-            # Griffin-Lim (centered-istft tail trim) and WaveRNN
-            # (generate_batch returns (W-1)·hop samples for a W-frame
-            # window) both come up one hop short per window; with zero
-            # context every non-final chunk would silently lose a hop
-            raise ValueError(
-                f"vocoder={vocoder!r} needs vocode_ctx_frames >= 1"
-            )
-        voc = _StreamingVocoder(
-            lambda m: self._vocode([np.asarray(m)], vocoder, rng)[0],
-            hop, chunk_frames, vocode_ctx_frames,
-            # hifigan's generator emits exactly W·hop samples; the other
-            # two emit (W-1)·hop (see the ValueError above)
-            tail_frames=0 if vocoder == "hifigan" else 1,
-        )
-
-    produced = 0       # raw frames fed to the postnet
-    emitted = 0        # exact frames forwarded to the vocoder
     while True:
         st, mels, gates, _ = seg_jit(
             p_cast, w_pre, enc_cond, in_len, k_dec, st
@@ -814,61 +919,11 @@ def synthesize_stream(
         n_steps, nf, ml_host, raw = jax.device_get(
             (st["step"], st["not_finished"], st["mel_lengths"], mels[0])
         )
-        n_steps = int(n_steps)
-        finished = int(nf.sum()) == 0
-        at_cap = n_steps >= cfg.max_decoder_steps
-        raw = np.asarray(raw)                        # (n_mel, seg·r)
-        # The segment scan decodes in fixed ``segment_steps`` strides, so
-        # it can overshoot max_decoder_steps by up to seg−1 steps the
-        # offline while-loop never runs — drop those frames and their
-        # mel_lengths increments (per-step +1, so min() reproduces the
-        # offline count exactly)
-        cap_frames = cfg.max_decoder_steps * r
-        if produced + raw.shape[-1] > cap_frames:
-            raw = raw[:, : max(0, cap_frames - produced)]
-        ml = int(ml_host[0])
-        L = min(max(ml, 1) * r, cap_frames)
-        if finished:
-            # offline trims output to mel_lengths·r frames regardless of
-            # early_stopping (synthesize above).  The postnet must see
-            # the same raw context offline saw beyond L:
-            #   early_stopping=True  — the while-loop exits once every
-            #     gate fired, so the buffer holds mel_lengths+1 real
-            #     steps (the firing step still writes its frame — for a
-            #     step-0 gate that's 1 real step at mel_lengths=0) and
-            #     literal zeros beyond; feed exactly those real frames,
-            #     then explicit zeros out to L+ctx so every emitted
-            #     frame's receptive field holds what offline's buffer
-            #     held (conv zero-PADDING is not the same as zero INPUT
-            #     frames past the first conv layer);
-            #   early_stopping=False — offline decodes to the step cap,
-            #     so frames past L are REAL context → keep decoding
-            #     until every vocoded frame (< L) has its true postnet
-            #     receptive field, then stop (decoding further changes
-            #     nothing the client hears).
-            if cfg.early_stopping:
-                need = min(ml + 1, cfg.max_decoder_steps) * r
-            else:
-                need = min(L + post.ctx, cap_frames)
-            final = at_cap or (produced + raw.shape[-1] >= need)
-            if final:
-                raw = raw[:, : max(0, need - produced)]
-                n_zero = min(L + post.ctx, cap_frames) - need
-                if n_zero > 0:
-                    raw = np.concatenate(
-                        [raw, np.zeros((raw.shape[0], n_zero), raw.dtype)],
-                        axis=-1,
-                    )
-        else:
-            final = at_cap
-        produced += raw.shape[-1]
-        exact = post.push(raw, final=final)
-        # vocoder sees ≤ L·r total — while un-finished L == produced, and
-        # once the gate fires L freezes (offline trim), so post-gate
-        # frames never reach the client even with early_stopping off
-        take = max(0, min(exact.shape[-1], L - emitted))
-        emitted += take
-        yield from voc.push(exact[:, :take], final=final)
+        chunks, final = cursor.advance(
+            raw, ml=int(ml_host[0]), finished=int(nf.sum()) == 0,
+            n_steps=int(n_steps),
+        )
+        yield from chunks
         if final:
             break
 

@@ -1,0 +1,240 @@
+"""Continuous-batching stream multiplexer (stream_mux.py).
+
+The contract under test: a stream through the multiplexer produces the
+SAME audio as the same request through ``AdaptiveTTS.synthesize_stream``
+at the same padded text length — regardless of which slot it lands in,
+who its neighbours are, or when it joins.  Everything runs the Pallas
+segment kernel in interpret mode (row math is bit-exact there), solo
+comparisons via ``force_tpu_interpret_mode``.
+"""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+from msa_tts_tpu.serving import AdaptiveTTS
+from msa_tts_tpu.stream_mux import StreamMultiplexer
+
+AP = dict(sample_rate=22050, n_fft=512, win_length=512,
+          hop_length=128, f_min=0.0, f_max=8000.0, n_mels=20,
+          griffinlim_iters=4)
+MODEL = {
+    "mask_padding": False, "n_mel_channels": 20,
+    "n_frames_per_step": 2, "n_symbols": 200,
+    "symbols_embedding_dim": 16, "encoder_n_convolutions": 2,
+    "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+    "speaker_emb_type": "static", "num_speakers": 1,
+    "speaker_embedding_dim": 6, "attention_rnn_dim": 20,
+    "decoder_rnn_dim": 20, "prenet_dim": 12,
+    "max_decoder_steps": 24, "gate_threshold": 0.5,
+    "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+    "decoder_no_early_stopping": True,
+    "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+    "postnet_n_convolutions": 2,
+    "attention_params": {
+        "attention_type": "ForwardAttention", "attention_dim": 16,
+        "attention_location_n_filters": 8,
+        "attention_location_kernel_size": 15, "windowing": False,
+        "norm": "softmax", "forward_attn": True,
+        "trans_agent": True, "forward_attn_mask": False,
+    },
+}
+T_CAP = 16
+SEG = 4
+
+
+def _tts(**model_over):
+    m = dict(MODEL, **model_over)
+    cfg = config_from_params(dict(m))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    return AdaptiveTTS(
+        {"model": m, "audio_params": dict(AP),
+         "decode_backend": "pallas"},
+        p0, s0,
+    )
+
+
+def _solo(tts, text, emb, vocoder="griffinlim"):
+    """Reference stream through synthesize_stream's pallas path at the
+    mux's exact padded text length and segment size."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return np.concatenate([
+            np.asarray(c) for c in tts.synthesize_stream(
+                text, spk_emb=emb, vocoder=vocoder,
+                segment_steps=SEG, text_pad_multiple=T_CAP,
+            )
+        ])
+
+
+def _mux_wav(mux, text, emb, vocoder="griffinlim"):
+    return np.concatenate([
+        np.asarray(c)
+        for c in mux.stream(text, spk_emb=emb, vocoder=vocoder)
+    ])
+
+
+@pytest.fixture(scope="module")
+def tts():
+    return _tts()
+
+
+@pytest.fixture(scope="module")
+def mux(tts):
+    m = StreamMultiplexer(
+        tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG,
+    )
+    yield m
+    m.close()
+
+
+def test_single_stream_matches_solo(tts, mux):
+    emb = np.random.RandomState(0).randn(6).astype(np.float32)
+    want = _solo(tts, "hello world", emb)
+    got = _mux_wav(mux, "hello world", emb)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_concurrent_streams_each_match_solo(tts, mux):
+    """Three different texts/speakers live at once — each multiplexed
+    stream must equal its own solo run (slot independence + per-slot
+    dropout-mask schedule)."""
+    rs = np.random.RandomState(1)
+    reqs = [("hi there", rs.randn(6).astype(np.float32)),
+            ("longer one", rs.randn(6).astype(np.float32)),
+            ("ok", rs.randn(6).astype(np.float32))]
+    results = {}
+
+    def worker(i, text, emb):
+        results[i] = _mux_wav(mux, text, emb)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, t, e))
+        for i, (t, e) in enumerate(reqs)
+    ]
+    for t in threads:
+        t.start()
+        time.sleep(0.05)      # staggered joins → different step phases
+    for t in threads:
+        t.join(timeout=300)
+    for i, (text, emb) in enumerate(reqs):
+        want = _solo(tts, text, emb)
+        np.testing.assert_allclose(
+            results[i], want, atol=1e-6,
+            err_msg=f"stream {i} ({text!r}) diverged from solo",
+        )
+
+
+def test_more_streams_than_slots_queue_up(tts, mux):
+    """A 4th stream on a 3-slot mux waits for a slot and still matches."""
+    rs = np.random.RandomState(2)
+    reqs = [(f"text {i}", rs.randn(6).astype(np.float32))
+            for i in range(4)]
+    results = {}
+
+    def worker(i, text, emb):
+        results[i] = _mux_wav(mux, text, emb)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, t, e))
+        for i, (t, e) in enumerate(reqs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for i, (text, emb) in enumerate(reqs):
+        want = _solo(tts, text, emb)
+        np.testing.assert_allclose(results[i], want, atol=1e-6)
+
+
+def test_early_stopping_stream_matches_solo():
+    """With the gate live, a stream that stops early retires its slot
+    and still matches solo (offline-trim bookkeeping via the shared
+    _StreamCursor)."""
+    tts = _tts(decoder_no_early_stopping=False)
+    mux = StreamMultiplexer(tts, n_slots=2, t_cap=T_CAP,
+                            segment_steps=SEG)
+    try:
+        emb = np.random.RandomState(3).randn(6).astype(np.float32)
+        want = _solo(tts, "stop early", emb)
+        got = _mux_wav(mux, "stop early", emb)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        mux.close()
+
+
+def test_http_server_multiplexed_streaming(tts):
+    """TTSServer(stream_multiplex=2): concurrent /synthesize_stream
+    requests decode through the mux; each response's PCM matches the
+    per-stream (XLA solo) server's within 1 int16 LSB (kernel interpret
+    vs XLA scan fp noise only), and /health reports the mux."""
+    import http.client
+    import json
+    import urllib.request
+
+    from msa_tts_tpu.server import TTSServer
+
+    def fetch(port, text):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request(
+            "POST", "/synthesize_stream", json.dumps({"text": text}),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read(44)
+        return np.frombuffer(resp.read(), "<i2")
+
+    xtts = _tts()
+    xtts.decode_backend = "xla"     # solo reference path on CPU
+    ref_srv = TTSServer(xtts, default_spk_emb=np.zeros(6, np.float32),
+                        text_pad_multiple=T_CAP)
+    ref_port = ref_srv.start()
+    srv = TTSServer(tts, default_spk_emb=np.zeros(6, np.float32),
+                    text_pad_multiple=T_CAP,
+                    stream_multiplex=2, stream_mux_t_cap=T_CAP)
+    port = srv.start()
+    try:
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=60
+        ).read())
+        assert health["stream_multiplex"] == 2
+
+        texts = ["hi there", "ok then"]
+        refs = [fetch(ref_port, t) for t in texts]
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda i=i, t=t: results.__setitem__(
+                    i, fetch(port, t))
+            )
+            for i, t in enumerate(texts)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for i in range(len(texts)):
+            assert results[i].shape == refs[i].shape
+            assert np.abs(
+                results[i].astype(np.int32)
+                - refs[i].astype(np.int32)
+            ).max() <= 1
+    finally:
+        srv.stop()
+        ref_srv.stop()
+
+
+def test_text_longer_than_cap_rejected(tts, mux):
+    with pytest.raises(ValueError, match="t_cap"):
+        next(iter(mux.stream(
+            "this text is going to be far too long for the tiny cap " * 3,
+            spk_emb=np.zeros(6, np.float32),
+        )))
