@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--vocoders", default="griffinlim,hifigan")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "pallas", "xla"])
+    ap.add_argument("--skip_sliced", action="store_true",
+                    help="measure only the muxed mode")
     args = ap.parse_args()
 
     from msa_tts_tpu.server import TTSServer
@@ -106,15 +110,21 @@ def main():
     )
     vocs = args.vocoders.split(",")
     out = {"slots": args.slots, "steps": args.steps, "rows": []}
-    for mux_n in (0, args.slots):
+    modes = (args.slots,) if args.skip_sliced else (0, args.slots)
+    for mux_n in modes:
         server = TTSServer(
             tts, default_spk_emb=emb, stream_multiplex=mux_n,
-            stream_mux_t_cap=128,
+            stream_mux_t_cap=128, stream_mux_backend=args.backend,
         )
         port = server.start()
-        mode = f"mux={mux_n}" if mux_n else "time-sliced"
-        if mux_n and server.stream_mux is None:
-            raise RuntimeError("mux did not come up — config unsupported")
+        if mux_n:
+            if server.stream_mux is None:
+                raise RuntimeError(
+                    "mux did not come up — config unsupported"
+                )
+            mode = f"mux={mux_n}/{server.stream_mux.backend}"
+        else:
+            mode = "time-sliced"
         for voc in vocs:
             stream_once(port, voc, SENTENCES[0])       # warm compiles
             concurrent_streams(port, voc, args.slots)  # warm all slots

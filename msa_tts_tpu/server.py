@@ -249,6 +249,7 @@ class TTSServer:
         request_timeout_s: float = 300.0,
         stream_multiplex: int = 0,
         stream_mux_t_cap: int = 128,
+        stream_mux_backend: str = "auto",
     ):
         self.tts = tts
         self.host = host
@@ -280,6 +281,7 @@ class TTSServer:
                     tts, n_slots=int(stream_multiplex),
                     t_cap=int(stream_mux_t_cap),
                     device_lock=self._device_lock,
+                    backend=stream_mux_backend,
                 )
             except ValueError as e:   # unsupported attention config
                 logging.getLogger(__name__).warning(
@@ -475,6 +477,12 @@ def main(argv=None):
                     help="decode up to N concurrent /synthesize_stream "
                          "requests in one batched segment call "
                          "(continuous batching; 0 = per-stream)")
+    ap.add_argument("--stream_mux_backend", default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="mux decode engine: whole-segment Pallas "
+                         "kernel (wins at <=4 slots), vmapped XLA "
+                         "segment scan (any slot count), or the "
+                         "measured auto gate")
     args = ap.parse_args(argv)
 
     from .utils.compile_cache import enable_compilation_cache
@@ -502,6 +510,7 @@ def main(argv=None):
         tts, host=args.host, port=args.port, default_spk_emb=emb,
         window_ms=args.window_ms, max_batch=args.max_batch,
         stream_multiplex=args.stream_multiplex,
+        stream_mux_backend=args.stream_mux_backend,
     )
     if args.voices_dir:
         for p in sorted(glob.glob(os.path.join(args.voices_dir,
@@ -581,6 +590,10 @@ def _make_handler(server: TTSServer):
                     "stream_multiplex": (
                         server.stream_mux.B
                         if server.stream_mux is not None else 0
+                    ),
+                    "stream_mux_backend": (
+                        server.stream_mux.backend
+                        if server.stream_mux is not None else None
                     ),
                 })
             elif self.path == "/stats":

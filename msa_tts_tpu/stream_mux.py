@@ -1,29 +1,41 @@
 """Continuous-batching stream multiplexer: N concurrent HTTP streams
-decoded in ONE whole-loop Pallas segment call per cadence tick.
+decoded in ONE batched segment call per cadence tick.
 
 Why: `server.stream_chunks` time-slices concurrent streams — each
 `next()` takes the device lock, so K clients each get 1/K of the chip
 and aggregate streaming capacity equals single-stream capacity.  The
-decoder segment kernel (models/pallas_decoder.py) is batched and its
-rows are mathematically independent, and on v5e it *wins* up to B=4
-(BENCHMARKS.md) — so decoding up to 4 live streams per kernel launch
-multiplies streaming capacity ~B× at roughly single-stream cadence.
-This is the autoregressive-TTS analogue of LLM serving's continuous
-batching: fixed device-resident slots, streams join at segment
-boundaries mid-flight and retire when their gate fires, no
-re-bucketing and no per-segment state transfers.
+decoder's batch rows are mathematically independent, so decoding up to
+N live streams per launch multiplies streaming capacity ~N× at roughly
+single-stream cadence.  This is the autoregressive-TTS analogue of LLM
+serving's continuous batching: fixed device-resident slots, streams
+join at segment boundaries mid-flight and retire when their gate
+fires, no re-bucketing and no per-segment state transfers.
+
+Two decode engines, auto-routed by the measured crossover
+(BENCHMARKS.md — the Pallas whole-segment kernel wins up to B=4 and
+loses past B=8):
+
+- ``backend="pallas"`` (`_KernelEngine`) — all slots advance in one
+  whole-segment `pallas_call` (models/pallas_decoder.py), weights
+  VMEM-resident.  The high-capacity default at n_slots ≤ 4.
+- ``backend="xla"`` (`_XlaEngine`) — `decoder_infer_segment` (the solo
+  streaming scan, models/decoder.py:540) vmapped over per-slot
+  (state, rng, step) so every slot keeps its OWN absolute-step key
+  schedule.  No VMEM cap and no attention-config restrictions; routes
+  automatically for n_slots > 4 or kernel-unsupported configs.
 
 Exactness: a multiplexed stream produces byte-identical audio to the
 same request through :meth:`AdaptiveTTS.synthesize_stream` at the same
 padded text length (tests/test_stream_mux.py).  Three properties make
 that hold:
 
-- slot rows are computed independently by the kernel (the same
-  independence the dp-sharded batched decode relies on);
+- slot rows are computed independently (the same independence the
+  dp-sharded batched decode relies on);
 - each slot's prenet-dropout masks are drawn with the SOLO path's
-  per-stream key schedule — ``_prenet_masks(rng_slot, B=1,
-  start=step_slot)`` — and stacked, so a stream's noise never depends
-  on which slot it landed in or who its neighbours are;
+  per-stream key schedule — the kernel engine stacks
+  ``_prenet_masks(rng_slot, B=1, start=step_slot)``, the XLA engine
+  vmaps ``fold_in(rng_slot, absolute_step)`` — so a stream's noise
+  never depends on which slot it landed in or who its neighbours are;
 - the per-stream host pipeline (postnet window, offline trim, vocoder
   chunking) is the same ``_StreamCursor`` object the solo path runs.
 
@@ -49,11 +61,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .models.decoder import decoder_infer_segment, decoder_stream_init
 from .models.pallas_decoder import (
     _preprocess,
     _prenet_masks,
     fits_vmem,
     make_pallas_decoder_segment,
+    profitable,
     split_decoder_params,
     supports_config,
 )
@@ -73,83 +87,50 @@ class _Slot:
         self.gen = 0           # admission generation (stale-output guard)
 
 
-class StreamMultiplexer:
-    """Batch up to ``n_slots`` concurrent synthesize streams into one
-    Pallas segment decode per tick.
+class _KernelEngine:
+    """All slots advance in ONE whole-segment Pallas kernel call.
 
-    Construction compiles nothing; the first admitted stream pays the
-    one-time segment/encode compiles (or loads them from the persistent
-    cache).  ``stream()`` is thread-safe; a background worker owns all
-    device calls, guarded by ``device_lock`` so it interleaves cleanly
-    with the server's batched endpoint.
+    Device state mirrors the kernel's st_shapes tuple plus per-slot
+    conditioning tables; per-slot prenet masks are drawn OUTSIDE the
+    kernel with each slot's solo key schedule and streamed in (the
+    kernel's exactness contract — models/pallas_decoder.py).
     """
 
-    def __init__(self, tts, *, n_slots: int = 4, t_cap: int = 64,
-                 segment_steps: int = 16, chunk_frames: int = 40,
-                 vocode_ctx_frames: int = 16,
-                 device_lock: threading.Lock | None = None,
-                 interpret: bool | None = None):
-        cfg = tts.cfg
-        dcfg = cfg.decoder_config()
+    def __init__(self, tts, dcfg, B, t_cap, n_seg, interpret):
         if not supports_config(dcfg):
             raise ValueError(
-                "stream multiplexing requires a kernel-lowered attention "
+                "kernel engine requires a kernel-lowered attention "
                 "config (pallas_decoder.supports_config) — windowing / "
-                "forward_attn_mask configs stream through the solo path"
+                "forward_attn_mask configs need backend='xla'"
             )
-        self.tts = tts
-        self.cfg = cfg
         self.dcfg = dcfg
-        self.B = int(n_slots)
-        self.t_cap = int(t_cap)
-        self.n_seg = int(segment_steps)
-        self.chunk_frames = int(chunk_frames)
-        self.vocode_ctx_frames = int(vocode_ctx_frames)
-        self.interpret = (not on_tpu()) if interpret is None else interpret
-        self.lock = device_lock or threading.Lock()
-
+        self.B, self.t_cap, self.n_seg = B, t_cap, n_seg
         p_cast, _, _ = tts._cast_infer(
             tts.model_params, {}, jnp.zeros((), jnp.float32)
         )
         wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
-        if not self.interpret and not fits_vmem(
-            dcfg._replace(max_decoder_steps=self.n_seg),
-            self.B, self.t_cap, wdt,
+        if not interpret and not fits_vmem(
+            dcfg._replace(max_decoder_steps=n_seg), B, t_cap, wdt,
         ):
             raise ValueError(
-                f"mux shape (B={self.B}, T={self.t_cap}, "
-                f"seg={self.n_seg}) exceeds the kernel VMEM budget"
+                f"mux shape (B={B}, T={t_cap}, seg={n_seg}) exceeds "
+                f"the kernel VMEM budget — use backend='xla'"
             )
         self._p_cast = p_cast
         self._w = jax.jit(
             lambda pd: split_decoder_params(pd, dcfg)
         )(p_cast["decoder"])
-        self._enc_jit, self._post_jit = _encpost_jits(tts)
+        self._pin_jit = jax.jit(
+            lambda p, e: _preprocess(p["decoder"], dcfg, e)
+        )
         self._run = make_pallas_decoder_segment(
-            dcfg, self.B, self.t_cap, self.n_seg,
-            interpret=self.interpret,
+            dcfg, B, t_cap, n_seg, interpret=interpret,
         )
-        self._seg = jax.jit(self._seg_fn)
-        self._insert = jax.jit(self._insert_fn, donate_argnums=(0,))
-        self._dev = self._init_device_state(p_cast)
+        self._seg_jit = jax.jit(self._seg_fn)
+        self._insert_jit = jax.jit(self._insert_fn, donate_argnums=(0,))
+        self.dev = self._init_device_state(p_cast)
 
-        self._slots = [_Slot() for _ in range(self.B)]
-        self._pending: list[tuple] = []
-        self._cond = threading.Condition()
-        self._stop = False
-        # Per-slot advance work (postnet window + vocoder relay — each a
-        # host→device round trip) overlaps across slots; compiled jax
-        # executables are thread-safe and the per-tick barrier in _loop
-        # keeps each stream's chunks ordered.
-        self._adv_pool = ThreadPoolExecutor(
-            max_workers=self.B, thread_name_prefix="mux-adv"
-        )
-        self._worker = threading.Thread(
-            target=self._loop, name="stream-mux", daemon=True
-        )
-        self._worker.start()
-
-    # ---------------------------------------------------------- device
+    # ------------------------------------------------------------ state
     def _init_device_state(self, p_cast):
         cfg, B, T = self.dcfg, self.B, self.t_cap
         E = cfg.encoder_embedding_dim
@@ -186,7 +167,7 @@ class StreamMultiplexer:
     def _seg_fn(self, w, dev):
         """One multiplexed segment: per-slot prenet masks (each slot's
         SOLO key schedule) + the batched segment kernel."""
-        B, T, S = self.B, self.t_cap, self.n_seg
+        S = self.n_seg
 
         def per_slot(rng, step):
             return _prenet_masks(self.dcfg, rng, S, 1, start=step)[:, :, 0]
@@ -242,6 +223,194 @@ class StreamMultiplexer:
         )
 
     # ---------------------------------------------------------- public
+    def insert(self, idx: int, enc_row, n_in: int, rng_row):
+        pin_row = self._pin_jit(self._p_cast, enc_row)
+        mask_row = sequence_mask(
+            jnp.asarray([n_in], jnp.int32), self.t_cap
+        ).astype(jnp.float32)
+        self.dev = self._insert_jit(
+            self.dev, jnp.asarray(idx, jnp.int32),
+            enc_row, pin_row, mask_row, rng_row,
+        )
+
+    def seg(self):
+        """Advance every slot one segment; returns host arrays
+        ``(mels, nf (B,1), mlen (B,1))``."""
+        self.dev, mels, nf, mlen = self._seg_jit(self._w, self.dev)
+        return jax.device_get((mels, nf, mlen))
+
+    def raw(self, mels_h, i):
+        """Slot ``i``'s (n_mel, seg·r) raw frames from the kernel's
+        (n_seg, B, MR) output layout — the solo wrapper's reshape
+        applied to one row."""
+        r = self.dcfg.n_frames_per_step
+        return (
+            np.asarray(mels_h[:, i])
+            .reshape(self.n_seg * r, self.dcfg.n_mel_channels).T
+        )
+
+
+class _XlaEngine:
+    """`decoder_infer_segment` vmapped over per-slot (state, rng).
+
+    Each slot's state carries its OWN absolute ``step`` counter and key,
+    so ``fold_in(rng_slot, step_slot)`` inside the shared step body
+    (models/decoder.py:_infer_step) reproduces the solo stream's exact
+    per-step dropout keys regardless of when the slot joined.  XLA
+    batches the vmapped rows into single matmuls, so a tick costs close
+    to one solo segment — no VMEM cap, no attention-config limits,
+    usable at any n_slots.
+    """
+
+    def __init__(self, tts, dcfg, B, t_cap, n_seg):
+        self.dcfg = dcfg
+        self.B, self.t_cap, self.n_seg = B, t_cap, n_seg
+        p_cast, _, _ = tts._cast_infer(
+            tts.model_params, {}, jnp.zeros((), jnp.float32)
+        )
+        self._p_cast = p_cast
+        self.edt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
+        E = dcfg.encoder_embedding_dim
+        st0 = decoder_stream_init(dcfg, 1, t_cap, self.edt)
+        self.dev = dict(
+            enc=jnp.zeros((B, 1, t_cap, E), self.edt),
+            # il=1 (not 0) for empty slots: an all-masked attention row
+            # would softmax to NaN; inactive rows must stay finite junk
+            il=jnp.ones((B, 1), jnp.int32),
+            st=jax.tree.map(
+                lambda leaf: jnp.broadcast_to(
+                    leaf[None], (B,) + leaf.shape
+                ), st0,
+            ),
+            rngs=jnp.zeros((B, 2), jnp.uint32),
+        )
+        self._seg_jit = jax.jit(self._seg_fn)
+        self._insert_jit = jax.jit(self._insert_fn, donate_argnums=(0,))
+
+    def _seg_fn(self, dev):
+        def one(enc, il, rng, st):
+            st2, mels, _, _ = decoder_infer_segment(
+                self._p_cast["decoder"], self.dcfg, enc, il, rng, st,
+                self.n_seg,
+            )
+            return st2, mels[0].astype(jnp.float32)
+
+        st2, mels = jax.vmap(one)(
+            dev["enc"], dev["il"], dev["rngs"], dev["st"]
+        )
+        new_dev = dict(dev, st=st2)
+        return new_dev, mels, st2["not_finished"], st2["mel_lengths"]
+
+    def _insert_fn(self, dev, idx, enc_row, il_row, rng_row):
+        def put(arr, row):
+            return jax.lax.dynamic_update_slice_in_dim(
+                arr, row.astype(arr.dtype), idx, axis=0
+            )
+
+        st0 = decoder_stream_init(self.dcfg, 1, self.t_cap, self.edt)
+        return dict(
+            dev,
+            enc=put(dev["enc"], enc_row[None]),
+            il=put(dev["il"], il_row[None]),
+            st=jax.tree.map(
+                lambda leaf, r0: put(leaf, r0[None]), dev["st"], st0,
+            ),
+            rngs=put(dev["rngs"], rng_row[None]),
+        )
+
+    # ---------------------------------------------------------- public
+    def insert(self, idx: int, enc_row, n_in: int, rng_row):
+        self.dev = self._insert_jit(
+            self.dev, jnp.asarray(idx, jnp.int32), enc_row,
+            jnp.asarray([n_in], jnp.int32), rng_row,
+        )
+
+    def seg(self):
+        self.dev, mels, nf, mlen = self._seg_jit(self.dev)
+        return jax.device_get((mels, nf, mlen))
+
+    def raw(self, mels_h, i):
+        return np.asarray(mels_h[i])    # already (n_mel, seg·r)
+
+
+class StreamMultiplexer:
+    """Batch up to ``n_slots`` concurrent synthesize streams into one
+    batched segment decode per tick.
+
+    ``backend``: ``"pallas"`` (whole-segment kernel), ``"xla"``
+    (vmapped segment scan), or ``"auto"`` — the kernel where it is
+    supported, fits VMEM, and its measured batch gate says it wins
+    (``pallas_decoder.profitable``: B ≤ 4), the XLA engine otherwise.
+
+    Construction compiles nothing; the first admitted stream pays the
+    one-time segment/encode compiles (or loads them from the persistent
+    cache).  ``stream()`` is thread-safe; a background worker owns all
+    device calls, guarded by ``device_lock`` so it interleaves cleanly
+    with the server's batched endpoint.
+    """
+
+    def __init__(self, tts, *, n_slots: int = 4, t_cap: int = 64,
+                 segment_steps: int = 16, chunk_frames: int = 40,
+                 vocode_ctx_frames: int = 16,
+                 device_lock: threading.Lock | None = None,
+                 backend: str = "auto",
+                 interpret: bool | None = None):
+        cfg = tts.cfg
+        dcfg = cfg.decoder_config()
+        self.tts = tts
+        self.cfg = cfg
+        self.dcfg = dcfg
+        self.B = int(n_slots)
+        self.t_cap = int(t_cap)
+        self.n_seg = int(segment_steps)
+        self.chunk_frames = int(chunk_frames)
+        self.vocode_ctx_frames = int(vocode_ctx_frames)
+        self.interpret = (not on_tpu()) if interpret is None else interpret
+        self.lock = device_lock or threading.Lock()
+
+        if backend == "auto":
+            p_cast, _, _ = tts._cast_infer(
+                tts.model_params, {}, jnp.zeros((), jnp.float32)
+            )
+            wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
+            backend = "pallas" if (
+                supports_config(dcfg) and profitable(self.B)
+                and (self.interpret or fits_vmem(
+                    dcfg._replace(max_decoder_steps=self.n_seg),
+                    self.B, self.t_cap, wdt,
+                ))
+            ) else "xla"
+        if backend == "pallas":
+            self.engine = _KernelEngine(
+                tts, dcfg, self.B, self.t_cap, self.n_seg,
+                self.interpret,
+            )
+        elif backend == "xla":
+            self.engine = _XlaEngine(
+                tts, dcfg, self.B, self.t_cap, self.n_seg
+            )
+        else:
+            raise ValueError(f"unknown mux backend {backend!r}")
+        self.backend = backend
+        self._enc_jit, self._post_jit = _encpost_jits(tts)
+
+        self._slots = [_Slot() for _ in range(self.B)]
+        self._pending: list[tuple] = []
+        self._cond = threading.Condition()
+        self._stop = False
+        # Per-slot advance work (postnet window + vocoder relay — each a
+        # host→device round trip) overlaps across slots; compiled jax
+        # executables are thread-safe and the per-tick barrier in _loop
+        # keeps each stream's chunks ordered.
+        self._adv_pool = ThreadPoolExecutor(
+            max_workers=self.B, thread_name_prefix="mux-adv"
+        )
+        self._worker = threading.Thread(
+            target=self._loop, name="stream-mux", daemon=True
+        )
+        self._worker.start()
+
+    # ---------------------------------------------------------- public
     def stream(self, text: str, *, spk_emb=None, vocoder: str = "griffinlim",
                rng: jax.Array | None = None):
         """Iterator of float32 wav chunks — the multiplexed equivalent
@@ -275,12 +444,6 @@ class StreamMultiplexer:
                 jnp.asarray([len(seq)], jnp.int32),
                 jnp.asarray(emb[None]), rng,
             )
-            pin_row = jax.jit(
-                lambda p, e: _preprocess(p["decoder"], self.dcfg, e)
-            )(self._p_cast, enc_row)
-        mask_row = sequence_mask(
-            jnp.asarray([len(seq)], jnp.int32), self.t_cap
-        ).astype(jnp.float32)
         k_dec = jax.random.fold_in(rng, 2)
         cursor = _stream_cursor(
             tts, tts.model_params, tts.model_state, self._post_jit,
@@ -290,10 +453,10 @@ class StreamMultiplexer:
         out: queue.SimpleQueue = queue.SimpleQueue()
         with self._cond:
             # old-style uint32 keys throughout the codebase — the key
-            # rows live in the (B, 2) device table the worker vmaps over
+            # rows live in the (B, 2) device table the engine consumes
             self._pending.append(
-                (enc_row, pin_row, mask_row,
-                 jnp.asarray(k_dec, jnp.uint32), cursor, out)
+                (enc_row, len(seq), jnp.asarray(k_dec, jnp.uint32),
+                 cursor, out)
             )
             self._cond.notify()
 
@@ -323,14 +486,9 @@ class StreamMultiplexer:
                 break
             if slot.active:
                 continue
-            enc_row, pin_row, mask_row, rng_row, cursor, out = (
-                self._pending.pop(0)
-            )
+            enc_row, n_in, rng_row, cursor, out = self._pending.pop(0)
             with self.lock:
-                self._dev = self._insert(
-                    self._dev, jnp.asarray(i, jnp.int32),
-                    enc_row, pin_row, mask_row, rng_row,
-                )
+                self.engine.insert(i, enc_row, n_in, rng_row)
             slot.active = True
             slot.cursor = cursor
             slot.out = out
@@ -338,8 +496,6 @@ class StreamMultiplexer:
             slot.gen += 1
 
     def _loop(self):
-        r = self.cfg.n_frames_per_step
-        n_mel = self.cfg.n_mel_channels
         while True:
             with self._cond:
                 while (not self._stop and not self._pending
@@ -353,12 +509,7 @@ class StreamMultiplexer:
             try:
                 self._admit()
                 with self.lock:
-                    self._dev, mels, nf, mlen = self._seg(
-                        self._w, self._dev
-                    )
-                    mels_h, nf_h, mlen_h = jax.device_get(
-                        (mels, nf, mlen)
-                    )
+                    mels_h, nf_h, mlen_h = self.engine.seg()
             except BaseException as e:  # surface to every waiting client
                 for s in self._slots:
                     if s.active and s.out is not None:
@@ -371,14 +522,8 @@ class StreamMultiplexer:
                 if not slot.active:
                     continue
                 slot.step += self.n_seg
-                # (n_seg, MR) → (n_mel, n_seg·r), the solo wrapper's
-                # reshape applied to one row
-                raw = (
-                    np.asarray(mels_h[:, i])
-                    .reshape(self.n_seg * r, n_mel).T
-                )
                 futs.append(self._adv_pool.submit(
-                    self._advance_slot, slot, raw,
+                    self._advance_slot, slot, self.engine.raw(mels_h, i),
                     int(mlen_h[i, 0]), int(nf_h[i, 0]) == 0,
                 ))
             for f in futs:      # barrier: keeps per-stream chunk order

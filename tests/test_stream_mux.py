@@ -79,15 +79,25 @@ def _mux_wav(mux, text, emb, vocoder="griffinlim"):
     ])
 
 
-@pytest.fixture(scope="module")
-def tts():
-    return _tts()
+@pytest.fixture(scope="module", params=["pallas", "xla"])
+def backend(request):
+    return request.param
 
 
 @pytest.fixture(scope="module")
-def mux(tts):
+def tts(backend):
+    t = _tts()
+    # the solo comparison path must run the SAME decode engine the mux
+    # engine under test uses
+    t.decode_backend = backend
+    return t
+
+
+@pytest.fixture(scope="module")
+def mux(tts, backend):
     m = StreamMultiplexer(
         tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG,
+        backend=backend,
     )
     yield m
     m.close()
@@ -206,6 +216,7 @@ def test_http_server_multiplexed_streaming(tts):
             f"http://127.0.0.1:{port}/health", timeout=60
         ).read())
         assert health["stream_multiplex"] == 2
+        assert health["stream_mux_backend"] in ("pallas", "xla")
 
         texts = ["hi there", "ok then"]
         refs = [fetch(ref_port, t) for t in texts]
@@ -238,3 +249,60 @@ def test_text_longer_than_cap_rejected(tts, mux):
             "this text is going to be far too long for the tiny cap " * 3,
             spk_emb=np.zeros(6, np.float32),
         )))
+
+
+def test_auto_backend_routing():
+    """auto = kernel inside its measured win region (B≤4, supported
+    config), XLA past it or for kernel-unsupported attention configs."""
+    tts = _tts()
+    m = StreamMultiplexer(tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG)
+    assert m.backend == "pallas"
+    m.close()
+    m = StreamMultiplexer(tts, n_slots=6, t_cap=T_CAP, segment_steps=SEG)
+    assert m.backend == "xla"
+    m.close()
+    ap = dict(MODEL["attention_params"], windowing=True)
+    m = StreamMultiplexer(
+        _tts(attention_params=ap), n_slots=2, t_cap=T_CAP,
+        segment_steps=SEG,
+    )
+    assert m.backend == "xla"
+    m.close()
+
+
+def test_six_slot_xla_mux_matches_solo():
+    """n_slots past the kernel's batch gate: six concurrent streams
+    through the auto-routed XLA engine each match their solo run —
+    the per-slot absolute-step key schedule survives vmapping."""
+    tts = _tts()
+    tts.decode_backend = "xla"
+    mux = StreamMultiplexer(
+        tts, n_slots=6, t_cap=T_CAP, segment_steps=SEG,
+    )
+    assert mux.backend == "xla"
+    try:
+        rs = np.random.RandomState(7)
+        reqs = [(f"words number {i}", rs.randn(6).astype(np.float32))
+                for i in range(6)]
+        results = {}
+
+        def worker(i, text, emb):
+            results[i] = _mux_wav(mux, text, emb)
+
+        threads = [
+            threading.Thread(target=worker, args=(i, t, e))
+            for i, (t, e) in enumerate(reqs)
+        ]
+        for t in threads:
+            t.start()
+            time.sleep(0.02)
+        for t in threads:
+            t.join(timeout=600)
+        for i, (text, emb) in enumerate(reqs):
+            want = _solo(tts, text, emb)
+            np.testing.assert_allclose(
+                results[i], want, atol=1e-6,
+                err_msg=f"stream {i} ({text!r}) diverged from solo",
+            )
+    finally:
+        mux.close()
