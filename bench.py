@@ -51,14 +51,15 @@ SCAN_REMAT = False   # per-decoder-step remat: the real memory lever
 BF16 = True
 
 
-def set_workload(k: int, s: int, remat: bool | None = None) -> None:
+def set_workload(k: int, s: int, remat: bool | str | None = None) -> None:
     """Override the meta-batch shape (and optionally decoder-scan
-    remat) — used by the CLI flags and the batch sweep."""
+    remat: False/True/"dots") — used by the CLI flags and the batch
+    sweep."""
     global K, S, FRAMES_PER_STEP, SCAN_REMAT
     K, S = int(k), int(s)
     FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
     if remat is not None:
-        SCAN_REMAT = bool(remat)
+        SCAN_REMAT = remat if remat == "dots" else bool(remat)
 
 MODEL_DIMS = dict(
     symbols_embedding_dim=512,
@@ -495,14 +496,20 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
         "np.asarray(jax.jit(lambda x: x * 2)(jax.numpy.ones((8, 8))));"
         "print('ok')"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, timeout=timeout_s,
-        )
-        return b"ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    # Two attempts, second with a longer deadline: a loaded host (e.g.
+    # a test suite compiling on every core) can starve the probe past
+    # one deadline even when the device itself is healthy.
+    for deadline in (timeout_s, timeout_s * 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=deadline,
+            )
+            if b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
@@ -521,11 +528,12 @@ def main():
 
     enable_compilation_cache()
     k, s = _flag_value("--k"), _flag_value("--s")
+    remat_flag = ("dots" if "--remat-dots" in sys.argv
+                  else True if "--remat" in sys.argv else None)
     if k or s:
-        set_workload(k or K, s or S,
-                     remat=True if "--remat" in sys.argv else None)
-    elif "--remat" in sys.argv:
-        set_workload(K, S, remat=True)
+        set_workload(k or K, s or S, remat=remat_flag)
+    elif remat_flag is not None:
+        set_workload(K, S, remat=remat_flag)
     if "--recompile-audit" in sys.argv:
         print(json.dumps(recompile_audit(), indent=2))
         return

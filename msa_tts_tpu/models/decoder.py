@@ -147,7 +147,12 @@ class DecoderConfig(NamedTuple):
     # step's internals (~100s of KB/row × T_dec), trading recompute the
     # latency-bound decoder has spare cycles for.  This is THE memory
     # lever for large meta-batches (see BENCHMARKS.md batch sweep).
-    scan_remat: bool = False
+    # True  = full remat (save only the carries; recompute everything).
+    # "dots" = selective remat (jax.checkpoint_policies.dots_saveable):
+    #          keep every matmul/LSTM-gate output, recompute only the
+    #          elementwise ops — far cheaper recompute than full remat
+    #          at a fraction of no-remat's activation memory.
+    scan_remat: bool | str = False
 
 
 def init_decoder(rng, cfg: DecoderConfig):
@@ -382,7 +387,13 @@ def decoder_forward(
         # prevent_cse=False is the documented-safe setting under scan
         # (no cross-iteration CSE to defend against) and avoids the
         # checkpoint wrapper pessimizing the forward pass.
-        scan_body = jax.checkpoint(scan_body, prevent_cse=False)
+        if cfg.scan_remat == "dots":
+            scan_body = jax.checkpoint(
+                scan_body, prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+        else:
+            scan_body = jax.checkpoint(scan_body, prevent_cse=False)
     _, (mels, gates, aligns) = jax.lax.scan(
         scan_body, carry0, (dec_in, step_keys), unroll=cfg.scan_unroll
     )

@@ -67,7 +67,7 @@ class ModelConfig(NamedTuple):
     freeze_decoder: bool = False
     p_prenet_dropout: float = 0.5
     scan_unroll: int = 1
-    scan_remat: bool = False
+    scan_remat: bool | str = False  # False | True (full) | "dots" (selective)
 
     @property
     def conditioned_embedding_dim(self) -> int:

@@ -254,13 +254,16 @@ def test_reduction_factor_2():
 
 
 @pytest.mark.slow
-def test_scan_remat_gradient_parity():
+@pytest.mark.parametrize("remat_mode", [True, "dots"])
+def test_scan_remat_gradient_parity(remat_mode):
     """scan_remat changes WHERE activations come from on the backward
     pass (recompute vs storage), never the math: loss and gradients
     must match the no-remat forward to float tolerance.  This guards
-    the memory lever used for large meta-batches (bench.py --remat)."""
+    the memory lever used for large meta-batches (bench.py --remat /
+    --remat-dots; "dots" keeps matmul outputs and recomputes only the
+    elementwise ops — jax.checkpoint_policies.dots_saveable)."""
     cfg = tiny_config()
-    cfg_r = tiny_config(scan_remat=True)
+    cfg_r = tiny_config(scan_remat=remat_mode)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
     batch = make_batch(cfg)
     rng = jax.random.PRNGKey(7)
