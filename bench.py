@@ -59,7 +59,13 @@ def set_workload(k: int, s: int, remat: bool | str | None = None) -> None:
     K, S = int(k), int(s)
     FRAMES_PER_STEP = K * S * T_MEL * (N_INNER + 1)
     if remat is not None:
-        SCAN_REMAT = remat if remat == "dots" else bool(remat)
+        if remat not in (True, False, "dots"):
+            # mirror decoder_forward's check: a typo like "dot" must not
+            # silently coerce to full remat
+            raise ValueError(
+                f"remat must be True/False/'dots', got {remat!r}"
+            )
+        SCAN_REMAT = remat
 
 MODEL_DIMS = dict(
     symbols_embedding_dim=512,
@@ -496,9 +502,10 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
         "np.asarray(jax.jit(lambda x: x * 2)(jax.numpy.ones((8, 8))));"
         "print('ok')"
     )
-    # Two attempts, second with a longer deadline: a loaded host (e.g.
-    # a test suite compiling on every core) can starve the probe past
-    # one deadline even when the device itself is healthy.
+    # Retry (with a longer deadline) ONLY after a timeout — that is the
+    # host-contention case the retry exists for.  A fast non-ok exit is
+    # a real device/runtime error a longer deadline can't fix: report it
+    # and bail immediately instead of doubling the blocking time.
     for deadline in (timeout_s, timeout_s * 2):
         try:
             r = subprocess.run(
@@ -507,6 +514,11 @@ def _device_reachable(timeout_s: float = 180.0) -> bool:
             )
             if b"ok" in r.stdout:
                 return True
+            sys.stderr.write(
+                "[bench] device probe failed (rc=%s):\n%s\n"
+                % (r.returncode, r.stderr.decode(errors="replace")[-2000:])
+            )
+            return False
         except subprocess.TimeoutExpired:
             pass
     return False

@@ -149,9 +149,11 @@ class DecoderConfig(NamedTuple):
     # lever for large meta-batches (see BENCHMARKS.md batch sweep).
     # True  = full remat (save only the carries; recompute everything).
     # "dots" = selective remat (jax.checkpoint_policies.dots_saveable):
-    #          keep every matmul/LSTM-gate output, recompute only the
-    #          elementwise ops — far cheaper recompute than full remat
-    #          at a fraction of no-remat's activation memory.
+    #          keep every matmul (dot_general) output — the LSTM gate
+    #          PRE-activations included — and recompute elementwise ops
+    #          (post-sigmoid/tanh gate values among them): far cheaper
+    #          recompute than full remat at a fraction of no-remat's
+    #          activation memory.
     scan_remat: bool | str = False
 
 
