@@ -44,6 +44,24 @@ import numpy as np
 from .serving import AdaptiveTTS, Voice
 
 
+class _QuietThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that treats a client vanishing mid-response
+    as routine instead of printing a traceback: streaming clients
+    disconnect whenever they've heard enough, and at server teardown
+    in-flight sockets get reset — neither is a server error."""
+
+    daemon_threads = True
+
+    def handle_error(self, request, client_address):  # noqa: D102
+        import sys
+
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (ConnectionResetError, BrokenPipeError,
+                            ConnectionAbortedError)):
+            return
+        super().handle_error(request, client_address)
+
+
 @dataclass
 class _Request:
     text: str
@@ -212,17 +230,23 @@ class DynamicBatcher:
                   flush=True)
             traceback.print_exc()
             for r in reqs:
-                r.future.set_exception(e)
+                # record before set_exception — same observable-before-
+                # recorded race as the success path below
                 self.stats.record_request(
                     time.monotonic() - r.t_enqueue, error=True
                 )
+                r.future.set_exception(e)
             return
         self.stats.record_batch(len(reqs))
         for r, w in zip(reqs, wavs):
-            r.future.set_result(w)
+            # record BEFORE set_result: the moment the future resolves
+            # the client can observe completion and query /stats — stats
+            # must already reflect this request (otherwise a client that
+            # polls /stats right after its response sees it missing)
             self.stats.record_request(
                 time.monotonic() - r.t_enqueue, error=False
             )
+            r.future.set_result(w)
 
 
 class TTSServer:
@@ -298,7 +322,9 @@ class TTSServer:
         """Start batcher + HTTP listener; returns the bound port."""
         self.batcher.start()
         handler = _make_handler(self)
-        self._httpd = ThreadingHTTPServer((self.host, self._port), handler)
+        self._httpd = _QuietThreadingHTTPServer(
+            (self.host, self._port), handler
+        )
         self._port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, name="msa-tts-http",
@@ -714,14 +740,19 @@ def _make_handler(server: TTSServer):
                     time.monotonic() - t0, error=True
                 )
             else:
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
-                # latency here is the full stream duration; /stats also
+                # record BEFORE the terminal chunk: once the client
+                # parses it, the stream is observably complete and a
+                # /stats probe must already count this request (the
+                # handler thread can be descheduled between flush and a
+                # later record — a real, observed race under load).
+                # Latency here is the full stream duration; /stats also
                 # carries these in requests_total so streaming-heavy
-                # deployments don't read as idle
+                # deployments don't read as idle.
                 server.stats.record_request(
                     time.monotonic() - t0, error=False
                 )
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
 
     return Handler
 
