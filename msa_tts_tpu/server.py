@@ -274,6 +274,8 @@ class TTSServer:
         stream_multiplex: int = 0,
         stream_mux_t_cap: int = 128,
         stream_mux_backend: str = "auto",
+        stream_mux_adapted: int | None = None,
+        stream_mux_max_pending: int | None = None,
     ):
         self.tts = tts
         self.host = host
@@ -293,10 +295,16 @@ class TTSServer:
         )
         # stream_multiplex=N decodes up to N concurrent /synthesize_stream
         # requests in ONE segment-kernel call per tick (continuous
-        # batching — stream_mux.py) instead of time-slicing the device;
-        # adapted voices / over-cap texts / unsupported attention configs
-        # fall back to the per-stream path automatically.
+        # batching — stream_mux.py) instead of time-slicing the device.
+        # Adapted voices get their OWN multiplexer (per-slot decoder
+        # weights on the vmapped XLA engine) so the few-shot product
+        # keeps continuous batching too; over-cap texts / unsupported
+        # attention configs / saturation fall back to the per-stream
+        # path automatically.  stream_mux_adapted=0 disables the
+        # adapted mux (saves n_slots× decoder params of HBM); None
+        # mirrors stream_multiplex.
         self.stream_mux = None
+        self.adapted_mux = None
         if stream_multiplex:
             from .stream_mux import StreamMultiplexer
 
@@ -306,10 +314,23 @@ class TTSServer:
                     t_cap=int(stream_mux_t_cap),
                     device_lock=self._device_lock,
                     backend=stream_mux_backend,
+                    max_pending=stream_mux_max_pending,
                 )
             except ValueError as e:   # unsupported attention config
                 logging.getLogger(__name__).warning(
                     "stream multiplexing disabled: %s", e
+                )
+            n_adapted = (
+                int(stream_multiplex) if stream_mux_adapted is None
+                else int(stream_mux_adapted)
+            )
+            if n_adapted:
+                self.adapted_mux = StreamMultiplexer(
+                    tts, n_slots=n_adapted,
+                    t_cap=int(stream_mux_t_cap),
+                    device_lock=self._device_lock,
+                    backend="xla", per_slot_params=True,
+                    max_pending=stream_mux_max_pending,
                 )
         self._httpd: ThreadingHTTPServer | None = None
         self._http_thread: threading.Thread | None = None
@@ -344,6 +365,8 @@ class TTSServer:
         self.batcher.stop()
         if self.stream_mux is not None:
             self.stream_mux.close()
+        if self.adapted_mux is not None:
+            self.adapted_mux.close()
 
     @property
     def port(self) -> int:
@@ -380,6 +403,13 @@ class TTSServer:
         for t in texts:
             for _ in self.stream_chunks(t, voice_name, vocoder):
                 pass
+        # the adapted-voice mux runs its own (per-slot-weights) segment
+        # program — warm it through the first registered voice
+        if self.adapted_mux is not None and self._voices:
+            first = next(iter(sorted(self._voices)))
+            for t in texts:
+                for _ in self.stream_chunks(t, first, vocoder):
+                    pass
 
     # ------------------------------------------------------ device call
     def servable_vocoders(self) -> set:
@@ -426,17 +456,22 @@ class TTSServer:
         the batcher's /synthesize traffic behind a held lock.
 
         With ``stream_multiplex=N`` concurrent streams decode together
-        in one segment-kernel call per tick (stream_mux.py); adapted
-        voices (per-voice params can't share the batched weights) and
-        over-cap texts fall back to the per-stream path."""
+        in one segment-kernel call per tick (stream_mux.py).  Adapted
+        voices route to the per-slot-weights multiplexer (each slot
+        decodes under its own adapted params); over-cap texts and a
+        saturated mux fall back to the per-stream path."""
+        from .stream_mux import MuxSaturated
+
         voice, spk_emb = self._resolve_voice(voice_name)
-        if (self.stream_mux is not None and voice is None
-                and spk_emb is not None):
+        mux = self.adapted_mux if voice is not None else self.stream_mux
+        if mux is not None and (voice is not None or spk_emb is not None):
             try:                    # eager validation — no chunks yet
-                muxed = self.stream_mux.stream(
-                    text, spk_emb=spk_emb, vocoder=vocoder
+                muxed = mux.stream(
+                    text, spk_emb=spk_emb, voice=voice, vocoder=vocoder
                 )
-            except ValueError:      # text longer than the mux t_cap
+            except (ValueError, MuxSaturated):
+                # text longer than the mux t_cap, or queue full —
+                # degrade to the time-sliced solo path
                 muxed = None
             if muxed is not None:
                 yield from muxed
@@ -509,6 +544,13 @@ def main(argv=None):
                          "kernel (wins at <=4 slots), vmapped XLA "
                          "segment scan (any slot count), or the "
                          "measured auto gate")
+    ap.add_argument("--stream_mux_adapted", type=int, default=None,
+                    help="slots for the ADAPTED-voice multiplexer "
+                         "(per-slot decoder weights; default mirrors "
+                         "--stream_multiplex, 0 disables)")
+    ap.add_argument("--stream_mux_max_pending", type=int, default=None,
+                    help="bound each mux's admission queue; beyond it "
+                         "streams shed to the solo path (backpressure)")
     args = ap.parse_args(argv)
 
     from .utils.compile_cache import enable_compilation_cache
@@ -537,6 +579,8 @@ def main(argv=None):
         window_ms=args.window_ms, max_batch=args.max_batch,
         stream_multiplex=args.stream_multiplex,
         stream_mux_backend=args.stream_mux_backend,
+        stream_mux_adapted=args.stream_mux_adapted,
+        stream_mux_max_pending=args.stream_mux_max_pending,
     )
     if args.voices_dir:
         for p in sorted(glob.glob(os.path.join(args.voices_dir,
@@ -621,9 +665,20 @@ def _make_handler(server: TTSServer):
                         server.stream_mux.backend
                         if server.stream_mux is not None else None
                     ),
+                    # adapted-voice continuous batching (per-slot
+                    # decoder weights on the vmapped XLA engine)
+                    "stream_mux_adapted": (
+                        server.adapted_mux.B
+                        if server.adapted_mux is not None else 0
+                    ),
                 })
             elif self.path == "/stats":
-                self._send_json(200, server.stats.snapshot())
+                snap = server.stats.snapshot()
+                if server.stream_mux is not None:
+                    snap["stream_mux"] = server.stream_mux.metrics()
+                if server.adapted_mux is not None:
+                    snap["adapted_mux"] = server.adapted_mux.metrics()
+                self._send_json(200, snap)
             elif self.path == "/voices":
                 self._send_json(
                     200, {"voices": sorted(server._voices.keys())}

@@ -39,9 +39,19 @@ that hold:
 - the per-stream host pipeline (postnet window, offline trim, vocoder
   chunking) is the same ``_StreamCursor`` object the solo path runs.
 
-Scope: all streams share ONE parameter set (the server's base model —
-per-stream adapted-voice params would need per-slot weights, defeating
-the shared-weights batching).  Per-stream speaker embeddings are fine:
+Adapted voices (the few-shot product — reference
+msa_tts/infer.py:266-281): with ``per_slot_params=True`` the XLA
+engine carries a device-resident STACKED decoder-params table — one
+full decoder parameter set per slot — and ``stream(..., voice=...)``
+admits a stream under its own adapted weights.  The per-slot encode
+and postnet already run per stream (same jitted programs, voice params
+passed as arguments), so a muxed adapted stream is the solo adapted
+stream bit-for-bit.  The cost is decoder-weight HBM traffic ×
+n_slots per tick (vmapped weights can't be shared), which is why it's
+an engine mode, not the default: base-voice deployments keep the
+shared-weight engines (Pallas kernel ≤ 4 slots).  The kernel engine
+keeps ONE weight set VMEM-resident by construction, so it never serves
+per-slot params.  Per-stream speaker embeddings are fine either way:
 the speaker conditions the ENCODER, which runs per stream at join
 time.  Texts longer than the multiplexer's ``t_cap`` fall back to the
 solo path (server.py handles the routing).
@@ -223,7 +233,14 @@ class _KernelEngine:
         )
 
     # ---------------------------------------------------------- public
-    def insert(self, idx: int, enc_row, n_in: int, rng_row):
+    def insert(self, idx: int, enc_row, n_in: int, rng_row,
+               dec_params=None):
+        if dec_params is not None:
+            raise ValueError(
+                "the kernel engine shares ONE VMEM-resident weight set; "
+                "adapted voices need the XLA engine with "
+                "per_slot_params=True"
+            )
         pin_row = self._pin_jit(self._p_cast, enc_row)
         mask_row = sequence_mask(
             jnp.asarray([n_in], jnp.int32), self.t_cap
@@ -260,11 +277,21 @@ class _XlaEngine:
     batches the vmapped rows into single matmuls, so a tick costs close
     to one solo segment — no VMEM cap, no attention-config limits,
     usable at any n_slots.
+
+    ``per_slot_params=True`` additionally vmaps over a stacked
+    decoder-params table (one parameter set per slot, slot rows written
+    at admission), so each slot decodes under its OWN adapted weights —
+    the mode that serves concurrent few-shot adapted voices.  The
+    matmuls become per-slot batched matmuls (weights can no longer be
+    shared across rows), trading ~n_slots× decoder-weight HBM traffic
+    for adapted-voice continuous batching.
     """
 
-    def __init__(self, tts, dcfg, B, t_cap, n_seg):
+    def __init__(self, tts, dcfg, B, t_cap, n_seg,
+                 per_slot_params: bool = False):
         self.dcfg = dcfg
         self.B, self.t_cap, self.n_seg = B, t_cap, n_seg
+        self.per_slot = bool(per_slot_params)
         p_cast, _, _ = tts._cast_infer(
             tts.model_params, {}, jnp.zeros((), jnp.float32)
         )
@@ -284,31 +311,45 @@ class _XlaEngine:
             ),
             rngs=jnp.zeros((B, 2), jnp.uint32),
         )
+        if self.per_slot:
+            # stacked decoder weights, slot rows overwritten at insert;
+            # initialized to the base model so empty slots stay finite
+            self.dev["pdec"] = jax.tree.map(
+                lambda leaf: jnp.stack([leaf] * B),
+                p_cast["decoder"],
+            )
         self._seg_jit = jax.jit(self._seg_fn)
         self._insert_jit = jax.jit(self._insert_fn, donate_argnums=(0,))
 
     def _seg_fn(self, dev):
-        def one(enc, il, rng, st):
+        def one(pd, enc, il, rng, st):
             st2, mels, _, _ = decoder_infer_segment(
-                self._p_cast["decoder"], self.dcfg, enc, il, rng, st,
-                self.n_seg,
+                pd, self.dcfg, enc, il, rng, st, self.n_seg,
             )
             return st2, mels[0].astype(jnp.float32)
 
-        st2, mels = jax.vmap(one)(
-            dev["enc"], dev["il"], dev["rngs"], dev["st"]
-        )
+        if self.per_slot:
+            st2, mels = jax.vmap(one)(
+                dev["pdec"], dev["enc"], dev["il"], dev["rngs"],
+                dev["st"],
+            )
+        else:
+            st2, mels = jax.vmap(
+                lambda enc, il, rng, st: one(
+                    self._p_cast["decoder"], enc, il, rng, st
+                )
+            )(dev["enc"], dev["il"], dev["rngs"], dev["st"])
         new_dev = dict(dev, st=st2)
         return new_dev, mels, st2["not_finished"], st2["mel_lengths"]
 
-    def _insert_fn(self, dev, idx, enc_row, il_row, rng_row):
+    def _insert_fn(self, dev, idx, enc_row, il_row, rng_row, pdec_row):
         def put(arr, row):
             return jax.lax.dynamic_update_slice_in_dim(
                 arr, row.astype(arr.dtype), idx, axis=0
             )
 
         st0 = decoder_stream_init(self.dcfg, 1, self.t_cap, self.edt)
-        return dict(
+        new = dict(
             dev,
             enc=put(dev["enc"], enc_row[None]),
             il=put(dev["il"], il_row[None]),
@@ -317,12 +358,26 @@ class _XlaEngine:
             ),
             rngs=put(dev["rngs"], rng_row[None]),
         )
+        if self.per_slot:
+            new["pdec"] = jax.tree.map(
+                lambda leaf, row: put(leaf, row[None]),
+                dev["pdec"], pdec_row,
+            )
+        return new
 
     # ---------------------------------------------------------- public
-    def insert(self, idx: int, enc_row, n_in: int, rng_row):
+    def insert(self, idx: int, enc_row, n_in: int, rng_row,
+               dec_params=None):
+        if dec_params is not None and not self.per_slot:
+            raise ValueError(
+                "per-stream decoder params need per_slot_params=True"
+            )
+        if self.per_slot and dec_params is None:
+            dec_params = self._p_cast["decoder"]
         self.dev = self._insert_jit(
             self.dev, jnp.asarray(idx, jnp.int32), enc_row,
             jnp.asarray([n_in], jnp.int32), rng_row,
+            dec_params if self.per_slot else self._p_cast["decoder"],
         )
 
     def seg(self):
@@ -333,6 +388,12 @@ class _XlaEngine:
         return np.asarray(mels_h[i])    # already (n_mel, seg·r)
 
 
+class MuxSaturated(RuntimeError):
+    """All slots busy AND the pending queue is at ``max_pending`` —
+    the caller should shed load (server.py falls back to the solo
+    time-sliced path and counts it in /stats)."""
+
+
 class StreamMultiplexer:
     """Batch up to ``n_slots`` concurrent synthesize streams into one
     batched segment decode per tick.
@@ -341,6 +402,16 @@ class StreamMultiplexer:
     (vmapped segment scan), or ``"auto"`` — the kernel where it is
     supported, fits VMEM, and its measured batch gate says it wins
     (``pallas_decoder.profitable``: B ≤ 4), the XLA engine otherwise.
+
+    ``per_slot_params=True`` selects the XLA engine with a stacked
+    per-slot decoder-weights table so ``stream(..., voice=...)`` can
+    serve concurrent few-shot ADAPTED voices (serving.Voice) with
+    continuous batching — each slot decodes under its own weights.
+
+    ``max_pending`` bounds the admission queue: beyond it ``stream()``
+    raises :class:`MuxSaturated` instead of queueing unboundedly, so a
+    server can shed to the solo path and report backpressure
+    (``metrics()``: queue depth, active slots, rejected count).
 
     Construction compiles nothing; the first admitted stream pays the
     one-time segment/encode compiles (or loads them from the persistent
@@ -354,6 +425,8 @@ class StreamMultiplexer:
                  vocode_ctx_frames: int = 16,
                  device_lock: threading.Lock | None = None,
                  backend: str = "auto",
+                 per_slot_params: bool = False,
+                 max_pending: int | None = None,
                  interpret: bool | None = None):
         cfg = tts.cfg
         dcfg = cfg.decoder_config()
@@ -365,16 +438,27 @@ class StreamMultiplexer:
         self.n_seg = int(segment_steps)
         self.chunk_frames = int(chunk_frames)
         self.vocode_ctx_frames = int(vocode_ctx_frames)
+        self.per_slot_params = bool(per_slot_params)
+        self.max_pending = None if max_pending is None else int(max_pending)
         self.interpret = (not on_tpu()) if interpret is None else interpret
         self.lock = device_lock or threading.Lock()
+        self._rejected_total = 0
+        self._admitted_total = 0
+        self._completed_total = 0
 
+        if self.per_slot_params and backend == "pallas":
+            raise ValueError(
+                "per_slot_params (adapted-voice mux) needs the XLA "
+                "engine — the kernel engine shares one VMEM weight set"
+            )
         if backend == "auto":
             p_cast, _, _ = tts._cast_infer(
                 tts.model_params, {}, jnp.zeros((), jnp.float32)
             )
             wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
             backend = "pallas" if (
-                supports_config(dcfg) and profitable(self.B)
+                not self.per_slot_params
+                and supports_config(dcfg) and profitable(self.B)
                 and (self.interpret or fits_vmem(
                     dcfg._replace(max_decoder_steps=self.n_seg),
                     self.B, self.t_cap, wdt,
@@ -387,7 +471,8 @@ class StreamMultiplexer:
             )
         elif backend == "xla":
             self.engine = _XlaEngine(
-                tts, dcfg, self.B, self.t_cap, self.n_seg
+                tts, dcfg, self.B, self.t_cap, self.n_seg,
+                per_slot_params=self.per_slot_params,
             )
         else:
             raise ValueError(f"unknown mux backend {backend!r}")
@@ -411,17 +496,46 @@ class StreamMultiplexer:
         self._worker.start()
 
     # ---------------------------------------------------------- public
-    def stream(self, text: str, *, spk_emb=None, vocoder: str = "griffinlim",
+    def metrics(self) -> dict:
+        """Backpressure/observability snapshot (served under /stats)."""
+        with self._cond:
+            return {
+                "n_slots": self.B,
+                "backend": self.backend,
+                "per_slot_params": self.per_slot_params,
+                "active_slots": sum(s.active for s in self._slots),
+                "queue_depth": len(self._pending),
+                "max_pending": self.max_pending,
+                "admitted_total": self._admitted_total,
+                "completed_total": self._completed_total,
+                "rejected_total": self._rejected_total,
+            }
+
+    def stream(self, text: str, *, spk_emb=None, voice=None,
+               vocoder: str = "griffinlim",
                rng: jax.Array | None = None):
         """Iterator of float32 wav chunks — the multiplexed equivalent
         of :meth:`AdaptiveTTS.synthesize_stream` (same audio bytes).
 
+        ``voice`` (a :class:`serving.Voice`) streams under that voice's
+        ADAPTED parameters: its encode/postnet run with the voice's
+        params (per-stream jitted calls, same programs) and its decoder
+        weights are written into the slot's row of the engine's stacked
+        params table — requires ``per_slot_params=True``.
+
         Validation is EAGER (this is a plain function returning an
         iterator, not a generator): a too-long text raises ValueError
-        here, before any slot is consumed, so a server can fall back to
-        the solo path.  Once this returns, the stream decodes to
-        completion whether or not the iterator is drained."""
+        and a full queue raises MuxSaturated here, before any slot is
+        consumed, so a server can fall back to the solo path.  Once
+        this returns, the stream decodes to completion whether or not
+        the iterator is drained."""
         tts = self.tts
+        if voice is not None and not self.per_slot_params:
+            raise ValueError(
+                "adapted voices need a per_slot_params=True multiplexer "
+                "(per-slot decoder weights); this mux shares one "
+                "parameter set"
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         seq, _ = tts.g2p.convert(
             text, convert_mode="text_to_phone_to_idx",
@@ -432,21 +546,53 @@ class StreamMultiplexer:
                 f"text phonemizes to {len(seq)} symbols > mux t_cap "
                 f"{self.t_cap}"
             )
+        # shed load BEFORE paying the per-stream encode: the whole point
+        # of backpressure is not spending device time on work we refuse.
+        # The check is advisory under concurrency (two racers may both
+        # pass), which is fine — max_pending bounds pressure, it is not
+        # an exact semaphore.
+        if self.max_pending is not None:
+            with self._cond:
+                if (len(self._pending) >= self.max_pending
+                        and all(s.active for s in self._slots)):
+                    self._rejected_total += 1
+                    raise MuxSaturated(
+                        f"all {self.B} slots busy and "
+                        f"{len(self._pending)} streams already queued "
+                        f"(max_pending={self.max_pending})"
+                    )
+        params = voice.params if voice is not None else tts.model_params
+        state = (
+            voice.model_state if voice is not None else tts.model_state
+        )
+        emb = np.asarray(
+            voice.spk_emb if voice is not None else spk_emb, np.float32
+        )
         padded = np.zeros((1, self.t_cap), np.int32)
         padded[0, : len(seq)] = seq
-        emb = np.asarray(spk_emb, np.float32)
+
+        dec_params = None
+        if self.per_slot_params:
+            # the engine table holds infer-dtype weights (same cast the
+            # solo path applies before decoding)
+            p_cast, _, _ = tts._cast_infer(
+                params, {}, jnp.zeros((), jnp.float32)
+            )
+            dec_params = p_cast["decoder"]
 
         # encode OUTSIDE the worker tick (it's per-stream work and the
-        # same jitted program the solo path runs — exactness contract)
+        # same jitted program the solo path runs — exactness contract);
+        # adapted voices encode under THEIR params (params are program
+        # arguments, so no new compile)
         with self.lock:
             enc_row, _ = self._enc_jit(
-                tts.model_params, tts.model_state, jnp.asarray(padded),
+                params, state, jnp.asarray(padded),
                 jnp.asarray([len(seq)], jnp.int32),
                 jnp.asarray(emb[None]), rng,
             )
         k_dec = jax.random.fold_in(rng, 2)
         cursor = _stream_cursor(
-            tts, tts.model_params, tts.model_state, self._post_jit,
+            tts, params, state, self._post_jit,
             vocoder, rng, self.n_seg, self.chunk_frames,
             self.vocode_ctx_frames,
         )
@@ -456,8 +602,9 @@ class StreamMultiplexer:
             # rows live in the (B, 2) device table the engine consumes
             self._pending.append(
                 (enc_row, len(seq), jnp.asarray(k_dec, jnp.uint32),
-                 cursor, out)
+                 cursor, out, dec_params)
             )
+            self._admitted_total += 1
             self._cond.notify()
 
         def drain():
@@ -486,9 +633,12 @@ class StreamMultiplexer:
                 break
             if slot.active:
                 continue
-            enc_row, n_in, rng_row, cursor, out = self._pending.pop(0)
+            (enc_row, n_in, rng_row, cursor, out,
+             dec_params) = self._pending.pop(0)
             with self.lock:
-                self.engine.insert(i, enc_row, n_in, rng_row)
+                self.engine.insert(
+                    i, enc_row, n_in, rng_row, dec_params=dec_params
+                )
             slot.active = True
             slot.cursor = cursor
             slot.out = out
@@ -546,3 +696,5 @@ class StreamMultiplexer:
             slot.active = False
             slot.cursor = None
             slot.out = None
+            with self._cond:
+                self._completed_total += 1

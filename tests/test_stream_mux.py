@@ -58,7 +58,7 @@ def _tts(**model_over):
     )
 
 
-def _solo(tts, text, emb, vocoder="griffinlim"):
+def _solo(tts, text, emb, vocoder="griffinlim", voice=None):
     """Reference stream through synthesize_stream's pallas path at the
     mux's exact padded text length and segment size."""
     from jax.experimental.pallas import tpu as pltpu
@@ -66,7 +66,7 @@ def _solo(tts, text, emb, vocoder="griffinlim"):
     with pltpu.force_tpu_interpret_mode():
         return np.concatenate([
             np.asarray(c) for c in tts.synthesize_stream(
-                text, spk_emb=emb, vocoder=vocoder,
+                text, voice, spk_emb=emb, vocoder=vocoder,
                 segment_steps=SEG, text_pad_multiple=T_CAP,
             )
         ])
@@ -243,6 +243,78 @@ def test_http_server_multiplexed_streaming(tts):
         ref_srv.stop()
 
 
+def test_http_server_adapted_voice_streaming():
+    """TTSServer(stream_multiplex=2) + a registered adapted voice:
+    concurrent /synthesize_stream requests for that voice decode
+    through the per-slot-weights mux (adapted_mux) and each response
+    matches a no-mux server's solo response for the same voice."""
+    import http.client
+    import json
+    import urllib.request
+
+    from msa_tts_tpu.server import TTSServer
+
+    def fetch(port, text, voice):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request(
+            "POST", "/synthesize_stream",
+            json.dumps({"text": text, "voice": voice}),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read(44)
+        return np.frombuffer(resp.read(), "<i2")
+
+    tts = _tts()
+    tts.decode_backend = "xla"
+    voice = _fake_voice(tts, 41)
+    ref_srv = TTSServer(tts, text_pad_multiple=T_CAP,
+                        default_spk_emb=np.zeros(6, np.float32))
+    ref_srv.register_voice("v1", voice)
+    ref_port = ref_srv.start()
+    srv = TTSServer(tts, text_pad_multiple=T_CAP,
+                    default_spk_emb=np.zeros(6, np.float32),
+                    stream_multiplex=2, stream_mux_t_cap=T_CAP)
+    srv.register_voice("v1", voice)
+    port = srv.start()
+    try:
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=60
+        ).read())
+        assert health["stream_mux_adapted"] == 2
+        assert srv.adapted_mux is not None
+        texts = ["hi there", "ok then"]
+        refs = [fetch(ref_port, t, "v1") for t in texts]
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda i=i, t=t: results.__setitem__(
+                    i, fetch(port, t, "v1"))
+            )
+            for i, t in enumerate(texts)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for i in range(len(texts)):
+            assert results[i].shape == refs[i].shape
+            assert np.abs(
+                results[i].astype(np.int32)
+                - refs[i].astype(np.int32)
+            ).max() <= 1
+        # the adapted mux actually carried the streams
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=60
+        ).read())
+        assert stats["adapted_mux"]["admitted_total"] == len(texts)
+        assert stats["adapted_mux"]["completed_total"] == len(texts)
+    finally:
+        srv.stop()
+        ref_srv.stop()
+
+
 def test_text_longer_than_cap_rejected(tts, mux):
     with pytest.raises(ValueError, match="t_cap"):
         next(iter(mux.stream(
@@ -268,6 +340,145 @@ def test_auto_backend_routing():
     )
     assert m.backend == "xla"
     m.close()
+
+
+def _fake_voice(tts, seed: int):
+    """An 'adapted' voice: base params perturbed like an inner-loop
+    step would perturb them, plus its own d-vector."""
+    from msa_tts_tpu.serving import Voice
+
+    rs = np.random.RandomState(seed)
+    leaves, treedef = jax.tree.flatten(tts.model_params)
+    perturbed = [
+        np.asarray(leaf) + rs.normal(0, 0.05, np.shape(leaf)).astype(
+            np.asarray(leaf).dtype
+        )
+        for leaf in leaves
+    ]
+    return Voice(
+        params=jax.tree.unflatten(treedef, perturbed),
+        model_state=tts.model_state,
+        spk_emb=rs.randn(6).astype(np.float32),
+        support_loss=0.0,
+    )
+
+
+def test_adapted_voice_mux_matches_solo():
+    """per_slot_params=True: a stream under an ADAPTED voice through
+    the mux equals its solo run under the same voice — the flagship
+    few-shot product keeps continuous batching."""
+    tts = _tts()
+    tts.decode_backend = "xla"
+    mux = StreamMultiplexer(
+        tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG,
+        per_slot_params=True,
+    )
+    assert mux.backend == "xla"
+    try:
+        voice = _fake_voice(tts, 11)
+        want = _solo(tts, "adapted hello", None, voice=voice)
+        base = _solo(tts, "adapted hello", voice.spk_emb)
+        # sanity: the adapted voice actually sounds different
+        assert want.shape != base.shape or not np.allclose(want, base)
+        got = np.concatenate([
+            np.asarray(c)
+            for c in mux.stream("adapted hello", voice=voice)
+        ])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        mux.close()
+
+
+def test_mixed_adapted_and_base_streams_concurrent():
+    """Two different adapted voices + one base-voice stream live at
+    once on the per-slot-weights engine — each matches its own solo."""
+    tts = _tts()
+    tts.decode_backend = "xla"
+    mux = StreamMultiplexer(
+        tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG,
+        per_slot_params=True,
+    )
+    try:
+        v1, v2 = _fake_voice(tts, 21), _fake_voice(tts, 22)
+        base_emb = np.random.RandomState(23).randn(6).astype(np.float32)
+        reqs = [("first voice", v1, None), ("second one", v2, None),
+                ("plain base", None, base_emb)]
+        results = {}
+
+        def worker(i, text, voice, emb):
+            results[i] = np.concatenate([
+                np.asarray(c)
+                for c in mux.stream(text, voice=voice, spk_emb=emb)
+            ])
+
+        threads = [
+            threading.Thread(target=worker, args=(i, t, v, e))
+            for i, (t, v, e) in enumerate(reqs)
+        ]
+        for t in threads:
+            t.start()
+            time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=600)
+        for i, (text, voice, emb) in enumerate(reqs):
+            want = _solo(tts, text, emb, voice=voice)
+            np.testing.assert_allclose(
+                results[i], want, atol=1e-6,
+                err_msg=f"stream {i} ({text!r}) diverged from solo",
+            )
+    finally:
+        mux.close()
+
+
+def test_adapted_voice_rejected_without_per_slot_params(tts, mux):
+    voice = _fake_voice(tts, 31)
+    with pytest.raises(ValueError, match="per_slot_params"):
+        mux.stream("hello", voice=voice)
+
+
+def test_per_slot_params_rejects_pallas_backend():
+    with pytest.raises(ValueError, match="XLA engine"):
+        StreamMultiplexer(
+            _tts(), n_slots=2, t_cap=T_CAP, segment_steps=SEG,
+            backend="pallas", per_slot_params=True,
+        )
+
+
+def test_mux_backpressure_and_metrics():
+    """max_pending bounds the queue: once every slot is busy and the
+    queue is full, stream() raises MuxSaturated (the server sheds to
+    the solo path) and metrics() reports the rejection."""
+    from msa_tts_tpu.stream_mux import MuxSaturated
+
+    # a long-running stream (high step cap, no early stopping) holds
+    # the only slot while we probe admission
+    tts = _tts(max_decoder_steps=2000)
+    tts.decode_backend = "xla"
+    mux = StreamMultiplexer(
+        tts, n_slots=1, t_cap=T_CAP, segment_steps=SEG,
+        backend="xla", max_pending=0,
+    )
+    try:
+        emb = np.zeros(6, np.float32)
+        mux.stream("hold it", spk_emb=emb)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            m = mux.metrics()
+            if m["active_slots"] == 1 and m["queue_depth"] == 0:
+                break
+            time.sleep(0.01)
+        else:
+            pytest.fail("first stream was never admitted")
+        with pytest.raises(MuxSaturated):
+            mux.stream("too many", spk_emb=emb)
+        m = mux.metrics()
+        assert m["rejected_total"] == 1
+        assert m["admitted_total"] == 1
+        assert m["max_pending"] == 0
+    finally:
+        # close() terminates the worker promptly even with the slot
+        # still decoding (its client gets a terminal None)
+        mux.close()
 
 
 def test_six_slot_xla_mux_matches_solo():
