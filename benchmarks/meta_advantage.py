@@ -202,6 +202,7 @@ def make_loss_fn(cfg):
         )
         loss = tacotron2_loss(
             tuple(outs), (batch["mels"], batch["stop"]), batch["mel_len"],
+            n_frames_per_step=MODEL_PARAMS["n_frames_per_step"],
             reduction="none", pos_weight=1.0,
         )
         return loss, new_s
@@ -327,6 +328,7 @@ def adapt_eval(cfg, tstate, test_spk, k: int, seed: int = 0):
         )
         losses.append(float(tacotron2_loss(
             tuple(outs), (qry["mels"], qry["stop"]), qry["mel_len"],
+            n_frames_per_step=MODEL_PARAMS["n_frames_per_step"],
             reduction="none", pos_weight=1.0,
         )))
         mcds.append(float(mcd_batch_np(
@@ -354,10 +356,20 @@ def adapt_eval_torch(cfg, tstate, test_spk, k: int):
         t = torch.from_numpy(np.asarray(x))
         return t.to(dtype) if dtype is not None else t
 
-    criterion = Tacotron2Loss(1, "none", 1.0, torch.device("cpu"))
+    criterion = Tacotron2Loss(
+        MODEL_PARAMS["n_frames_per_step"], "none", 1.0,
+        torch.device("cpu"),
+    )
     losses, mcds = [], []
     for spk in test_spk:
-        model = Tacotron2NV(dict(MODEL_PARAMS))
+        from benchmarks.quality_convergence import (
+            _patch_reference_gate_repeat,
+        )
+
+        model = _patch_reference_gate_repeat(
+            Tacotron2NV(dict(MODEL_PARAMS)),
+            r=MODEL_PARAMS["n_frames_per_step"],
+        )
         model.load_state_dict(
             {kk: torch.from_numpy(np.asarray(v)) for kk, v in sd.items()}
         )
@@ -470,7 +482,12 @@ def main():
     ap.add_argument("--outer_steps", type=int, default=200)
     ap.add_argument("--no_reference", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--r", type=int, default=1,
+                    help="reduction factor n_frames_per_step (r=2 "
+                         "quality-evidence run — BENCHMARKS.md)")
     args = ap.parse_args()
+    MODEL_PARAMS["n_frames_per_step"] = args.r
+    assert T_MEL % args.r == 0
 
     rows, ref_rows, results = run(
         args.outer_steps, with_reference=not args.no_reference,

@@ -160,6 +160,7 @@ def train_jax(train, schedule, seed: int = 0):
         )
         loss = tacotron2_loss(
             tuple(outs), (batch["mels"], batch["stop"]), batch["mel_len"],
+            n_frames_per_step=MODEL_PARAMS["n_frames_per_step"],
             reduction="none", pos_weight=1.0,
         )
         return loss, new_s
@@ -192,6 +193,7 @@ def eval_jax(cfg, params, state, data):
     )
     loss = float(tacotron2_loss(
         tuple(outs), (data["mels"], data["stop"]), data["mel_len"],
+        n_frames_per_step=MODEL_PARAMS["n_frames_per_step"],
         reduction="none", pos_weight=1.0,
     ))
     mcd = float(mcd_batch_np(
@@ -203,6 +205,29 @@ def eval_jax(cfg, params, state, data):
 
 
 # ------------------------------------------------------------- torch side
+
+def _patch_reference_gate_repeat(model, r=None):
+    """The reference drops NVIDIA-Tacotron2's gate repeat_interleave at
+    n_frames_per_step>1 (msa_tts/models/modules_tacotron2nv/decoder.py:
+    207-232 returns (B, T/r) gate energies against (B, T) stop labels,
+    so its own r=2 training CRASHES in BCEWithLogits).  Apply the
+    NVIDIA fix — repeat each decoder step's gate over its r frames, the
+    same semantic our decoder.py:408 implements — so the reference can
+    be trained/evaluated at r=2 for a matched comparison."""
+    r = MODEL_PARAMS["n_frames_per_step"] if r is None else r
+    if r == 1:
+        return model
+    dec = model.decoder
+    orig = dec.parse_decoder_outputs
+
+    def fixed(mel, gate, align):
+        mel, gate, align = orig(mel, gate, align)
+        return mel, gate.repeat_interleave(r, dim=1), align
+
+    dec.parse_decoder_outputs = fixed
+    return model
+
+
 def train_torch(train, schedule, seed: int = 0):
     import torch
     from msa_tts.models.tacotron2nv import Tacotron2NV
@@ -212,9 +237,12 @@ def train_torch(train, schedule, seed: int = 0):
 
     torch.manual_seed(seed)
     torch.set_num_threads(4)
-    model = Tacotron2NV(dict(MODEL_PARAMS))
+    model = _patch_reference_gate_repeat(Tacotron2NV(dict(MODEL_PARAMS)))
     model.train()
-    criterion = Tacotron2Loss(1, "none", 1.0, torch.device("cpu"))
+    criterion = Tacotron2Loss(
+        MODEL_PARAMS["n_frames_per_step"], "none", 1.0,
+        torch.device("cpu"),
+    )
     opt = torch.optim.Adam(model.parameters(), lr=LR)
 
     def tt(x, dtype=None):
@@ -245,7 +273,10 @@ def eval_torch(model, data):
     )
 
     model.eval()
-    criterion = Tacotron2Loss(1, "none", 1.0, torch.device("cpu"))
+    criterion = Tacotron2Loss(
+        MODEL_PARAMS["n_frames_per_step"], "none", 1.0,
+        torch.device("cpu"),
+    )
     orig_dropout = torch.nn.functional.dropout
     torch.nn.functional.dropout = lambda x, *a, **k: x  # prenet is always-on
     try:
@@ -281,7 +312,7 @@ def roundtrip_eval(cfg, params, state, data):
     from msa_tts.models.tacotron2nv import Tacotron2NV
 
     sd = pytrees_to_state_dict(params, state, cfg)
-    model = Tacotron2NV(dict(MODEL_PARAMS))
+    model = _patch_reference_gate_repeat(Tacotron2NV(dict(MODEL_PARAMS)))
     model.load_state_dict(
         {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
     )
@@ -291,7 +322,13 @@ def roundtrip_eval(cfg, params, state, data):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--r", type=int, default=1,
+                    help="reduction factor n_frames_per_step (the r=2 "
+                         "throughput lever needs quality evidence — "
+                         "BENCHMARKS.md)")
     args = ap.parse_args()
+    MODEL_PARAMS["n_frames_per_step"] = args.r
+    assert T_MEL % args.r == 0
 
     train, eval_data = make_data()
     schedule = batch_schedule(args.steps)
@@ -299,6 +336,7 @@ def main():
     cfg, params, state, jax_train_loss = train_jax(train, schedule)
     jax_loss, jax_mcd = eval_jax(cfg, params, state, eval_data)
     print(json.dumps({"row": "jax_trained", "steps": args.steps,
+                      "r": args.r,
                       "final_train_loss": round(jax_train_loss, 4),
                       "eval_loss": round(jax_loss, 4),
                       "eval_mcd": round(jax_mcd, 4)}))
@@ -306,7 +344,7 @@ def main():
     model, torch_train_loss = train_torch(train, schedule)
     t_loss, t_mcd = eval_torch(model, eval_data)
     print(json.dumps({"row": "torch_reference_trained",
-                      "steps": args.steps,
+                      "steps": args.steps, "r": args.r,
                       "final_train_loss": round(torch_train_loss, 4),
                       "eval_loss": round(t_loss, 4),
                       "eval_mcd": round(t_mcd, 4)}))

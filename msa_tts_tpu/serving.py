@@ -110,7 +110,19 @@ class AdaptiveTTS:
         # the decoder weights every step (BENCHMARKS.md MFU analysis),
         # so bf16 halves the per-step traffic; outputs return as fp32.
         # Same cast the trainers' compute_dtype uses (trainers/base.py).
+        # infer_dtype: auto — route by batch size: bf16 where the decode
+        # is weight-streaming-bound (small B — the measured win region,
+        # BENCHMARKS.md infer_bf16: 1.39× at B=1, 0.87× LOSS at B=16)
+        # and fp32 for larger batched groups.  The decision is made at
+        # trace time from the batch dimension (each bucket is its own
+        # XLA program anyway), so the dynamic batcher gets best-of-both
+        # with no per-deployment flag.  Streaming paths decode B=1-
+        # independent rows and always take bf16 under auto — solo and
+        # multiplexed streams therefore stay byte-matched.
+        # infer_bf16_max_batch overrides the measured crossover bucket.
         idt = params.get("infer_dtype")
+        self._infer_auto = idt == "auto"
+        self._bf16_max_batch = int(params.get("infer_bf16_max_batch", 2))
         self._infer_dtype = (
             jnp.bfloat16 if idt in ("bfloat16", "bf16") else None
         )
@@ -129,7 +141,9 @@ class AdaptiveTTS:
         # masking the encoder convs makes each row's output independent
         # of that padding, so batched == single == streamed synthesis
         def _infer(p, s, i, il, sv, rng):
-            p, s, sv = self._cast_infer(p, s, sv)
+            # batch read from the traced shape — static per XLA program,
+            # so `auto` picks the dtype per batch bucket
+            p, s, sv = self._cast_infer(p, s, sv, batch=i.shape[0])
             mel, mel_len, align = tacotron2nv_infer(
                 p, s, self.cfg, i, il, sv, rng, mask_pad=True,
                 decoder_backend=self.decode_backend,
@@ -179,21 +193,34 @@ class AdaptiveTTS:
         # Optional neural vocoders (attach_vocoder); Griffin-Lim needs none.
         self._vocoders: dict = {}
 
-    def _cast_infer(self, p, s, sv):
+    def _resolve_infer_dtype(self, batch: int | None = None):
+        """The compute dtype for a decode at ``batch`` rows: the static
+        setting, or — under ``infer_dtype: auto`` — bf16 up to the
+        measured crossover batch and fp32 beyond it.  ``batch=None``
+        means a streaming/per-row context (always bf16 under auto)."""
+        if self._infer_auto:
+            if batch is None or batch <= self._bf16_max_batch:
+                return jnp.bfloat16
+            return None
+        return self._infer_dtype
+
+    def _cast_infer(self, p, s, sv, batch: int | None = None):
         """Cast fp32 params/state/speaker-vec to the inference compute
-        dtype (identity when ``infer_dtype`` is unset)."""
-        if self._infer_dtype is None:
+        dtype (identity when ``infer_dtype`` is unset, batch-routed
+        under ``auto``)."""
+        dt = self._resolve_infer_dtype(batch)
+        if dt is None:
             return p, s, sv
 
         def cast(t):
             return jax.tree_util.tree_map(
-                lambda x: x.astype(self._infer_dtype)
+                lambda x: x.astype(dt)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32
                 else x,
                 t,
             )
 
-        return cast(p), cast(s), sv.astype(self._infer_dtype)
+        return cast(p), cast(s), sv.astype(dt)
 
     # ------------------------------------------------------------- load
     @classmethod
@@ -655,13 +682,16 @@ def _encpost_jits(self):
         cfg = self.cfg
 
         def enc_fn(p, s, i, il, sv, k):
-            p, s, sv = self._cast_infer(p, s, sv)
+            p, s, sv = self._cast_infer(p, s, sv, batch=1)
             return _encode(p, s, cfg, i, il, sv, k, False, mask_pad=True)
 
         def post_fn(p, s, x, width):
-            p, s, _ = self._cast_infer(p, s, jnp.zeros((), jnp.float32))
-            if self._infer_dtype is not None:
-                x = x.astype(self._infer_dtype)
+            dt = self._resolve_infer_dtype(1)
+            p, s, _ = self._cast_infer(
+                p, s, jnp.zeros((), jnp.float32), batch=1
+            )
+            if dt is not None:
+                x = x.astype(dt)
             res, _ = postnet_apply(
                 p["postnet"], s["postnet"], x, rng=None, train=False,
                 kernel_size=cfg.postnet_kernel_size, width=width,
@@ -874,7 +904,9 @@ def synthesize_stream(
 
         self._stream_jits[key] = jax.jit(seg_fn)
     seg_jit = self._stream_jits[key]
-    p_cast, _, _ = self._cast_infer(params, {}, jnp.zeros((), jnp.float32))
+    p_cast, _, _ = self._cast_infer(
+        params, {}, jnp.zeros((), jnp.float32), batch=1
+    )
     if self.decode_backend == "pallas":
         from .models.pallas_decoder import split_decoder_params
 

@@ -116,7 +116,7 @@ class _KernelEngine:
         self.dcfg = dcfg
         self.B, self.t_cap, self.n_seg = B, t_cap, n_seg
         p_cast, _, _ = tts._cast_infer(
-            tts.model_params, {}, jnp.zeros((), jnp.float32)
+            tts.model_params, {}, jnp.zeros((), jnp.float32), batch=1
         )
         wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
         if not interpret and not fits_vmem(
@@ -293,7 +293,7 @@ class _XlaEngine:
         self.B, self.t_cap, self.n_seg = B, t_cap, n_seg
         self.per_slot = bool(per_slot_params)
         p_cast, _, _ = tts._cast_infer(
-            tts.model_params, {}, jnp.zeros((), jnp.float32)
+            tts.model_params, {}, jnp.zeros((), jnp.float32), batch=1
         )
         self._p_cast = p_cast
         self.edt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
@@ -453,7 +453,8 @@ class StreamMultiplexer:
             )
         if backend == "auto":
             p_cast, _, _ = tts._cast_infer(
-                tts.model_params, {}, jnp.zeros((), jnp.float32)
+                tts.model_params, {}, jnp.zeros((), jnp.float32),
+                batch=1,
             )
             wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
             backend = "pallas" if (
@@ -576,7 +577,7 @@ class StreamMultiplexer:
             # the engine table holds infer-dtype weights (same cast the
             # solo path applies before decoding)
             p_cast, _, _ = tts._cast_infer(
-                params, {}, jnp.zeros((), jnp.float32)
+                params, {}, jnp.zeros((), jnp.float32), batch=1
             )
             dec_params = p_cast["decoder"]
 

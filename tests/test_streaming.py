@@ -335,6 +335,47 @@ def test_bf16_infer_dtype_close_to_fp32():
     assert not np.allclose(m16, m32)  # actually computed in bf16
 
 
+def test_infer_dtype_auto_routes_by_batch():
+    """infer_dtype: auto — bf16 for small batches (the measured win
+    region: weight-streaming-bound decode) and fp32 for large batched
+    groups (where bf16 measured a LOSS — BENCHMARKS.md infer_bf16).
+    The route must reproduce the respective static setting exactly."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+
+    mp = dict(MODEL)
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    base = {"model": mp, "audio_params": dict(AP)}
+    tts32 = AdaptiveTTS(dict(base), p0, s0)
+    tts16 = AdaptiveTTS(dict(base, infer_dtype="bfloat16"), p0, s0)
+    ttsa = AdaptiveTTS(dict(base, infer_dtype="auto"), p0, s0)
+
+    import jax.numpy as jnp
+
+    assert ttsa._resolve_infer_dtype(1) == jnp.bfloat16
+    assert ttsa._resolve_infer_dtype(2) == jnp.bfloat16
+    assert ttsa._resolve_infer_dtype(4) is None
+    assert ttsa._resolve_infer_dtype(None) == jnp.bfloat16  # streaming
+
+    # B=1: auto == the static bf16 path, bit for bit
+    m_a = np.asarray(ttsa.synthesize("hello", vocoder="none", spk_emb=EMB))
+    m_16 = np.asarray(tts16.synthesize("hello", vocoder="none", spk_emb=EMB))
+    np.testing.assert_array_equal(m_a, m_16)
+
+    # B=4 (> crossover): auto == the static fp32 path, bit for bit
+    texts = ["hello", "there", "more", "text"]
+    got = ttsa.synthesize_batch(texts, vocoder="none", spk_emb=EMB)
+    want = tts32.synthesize_batch(texts, vocoder="none", spk_emb=EMB)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # the crossover bucket is a measured config knob
+    tts_k = AdaptiveTTS(
+        dict(base, infer_dtype="auto", infer_bf16_max_batch=8), p0, s0
+    )
+    assert tts_k._resolve_infer_dtype(8) == jnp.bfloat16
+
+
 @pytest.mark.slow
 def test_bf16_streamed_matches_bf16_offline():
     """The streamed mel must remain (near-)exact vs offline under
