@@ -7,11 +7,13 @@ model dims (NVIDIA-Tacotron2-scale: 512 encoder, 1024 decoder RNNs,
 80 mels).  Frames/step = K·S·T_mel·(n_inner + 1).
 
 ``python bench.py`` runs the JAX/TPU side and prints ONE json line
-``{"metric", "value", "unit", "vs_baseline"}``;
-``python bench.py --measure-baseline`` measures the PyTorch-CPU
+``{"metric", "value", "unit", "vs_baseline"}``.  The headline runs the
+shipped default ``n_frames_per_step=2`` (quality-validated free ~1.9×,
+BENCHMARKS.md r=2 section); ``--r1`` reproduces the r=1 row.
+``python bench.py --measure-baseline [--r 2]`` measures the PyTorch-CPU
 reference implementation (imported from /root/reference, sequential
 per-task ``higher`` inner loops, the reference's own 4-thread cap) on
-the *same workload* and stores it in BASELINE_MEASURED.json.
+the *same workload* (same r) and stores it in BASELINE_MEASURED.json.
 """
 
 from __future__ import annotations
@@ -371,9 +373,19 @@ def recompile_audit(n_utts: int = 512, seed: int = 0) -> dict:
 
 # -------------------------------------------------------------- torch side
 
-def run_torch_reference(n_steps: int = 2) -> dict:
+def run_torch_reference(n_steps: int = 2, r: int = 1) -> dict:
     """Measure the reference implementation (PyTorch CPU, sequential
-    per-task higher inner loops — msa_tts/maml.py:33-105)."""
+    per-task higher inner loops — msa_tts/maml.py:33-105).
+
+    ``r`` (n_frames_per_step): the reference's own r>1 path has two
+    latent bugs its r=1 configs never hit, shimmed here for a matched
+    r=2 measurement: (a) it drops NVIDIA's gate repeat_interleave (its
+    BCE crashes on (B,T/r) gates vs (B,T) stop labels — same fix as
+    benchmarks/quality_convergence.py:_patch_reference_gate_repeat);
+    (b) parse_decoder_inputs (decoder.py:200) calls ``view`` on the
+    transposed, non-contiguous mel — a no-op reshape at r=1 but a real
+    one at r=2, so it raises on our (B, M, T)-contiguous batch; the
+    shim substitutes the same math via ``contiguous().view``."""
     sys.path.insert(0, "/root/reference")
     import torch
 
@@ -393,6 +405,7 @@ def run_torch_reference(n_steps: int = 2) -> dict:
         n_symbols=N_SYMBOLS,
         n_mel_channels=N_MELS,
         num_speakers=1,
+        n_frames_per_step=r,
         attention_params=dict(ATTN),
         decoder_no_early_stopping=False,
         freeze_charemb=False,
@@ -400,9 +413,27 @@ def run_torch_reference(n_steps: int = 2) -> dict:
         freeze_decoder=False,
     )
     model = Tacotron2NV(mp)
+    if r > 1:
+        dec = model.decoder
+        orig_parse = dec.parse_decoder_outputs
+
+        def _fixed(mel, gate, align):
+            mel, gate, align = orig_parse(mel, gate, align)
+            return mel, gate.repeat_interleave(r, dim=1), align
+
+        dec.parse_decoder_outputs = _fixed
+
+        def _fixed_inputs(decoder_inputs):
+            # (B, M, T) -> (T/r, B, M*r); reference decoder.py:189-205
+            # semantics with the non-contiguous ``view`` made legal.
+            x = decoder_inputs.transpose(1, 2).contiguous()
+            x = x.view(x.size(0), x.size(1) // r, -1)
+            return x.transpose(0, 1)
+
+        dec.parse_decoder_inputs = _fixed_inputs
     model.train()
     criterion = Tacotron2Loss(
-        n_frames_per_step=1, reduction="none", pos_weight=1.0,
+        n_frames_per_step=r, reduction="none", pos_weight=1.0,
         device=torch.device("cpu"),
     )
     inner_opt = torch.optim.SGD(model.parameters(), lr=1e-2)
@@ -474,7 +505,7 @@ def run_torch_reference(n_steps: int = 2) -> dict:
         "threads": 4,
         "higher_available": higher is not None,
         "workload": {
-            "K": K, "S": S, "T_in": T_IN, "T_mel": T_MEL,
+            "K": K, "S": S, "T_in": T_IN, "T_mel": T_MEL, "r": r,
             "n_inner": N_INNER, "frames_per_step": FRAMES_PER_STEP,
         },
     }
@@ -558,15 +589,6 @@ def main():
             "sec_per_step": round(result["sec_per_step"], 4),
         }))
         return
-    if "--r2" in sys.argv:
-        result = run_jax(r=2)
-        print(json.dumps({
-            "metric": "meta_train_mel_frames_per_sec_r2",
-            "value": round(result["frames_per_sec"], 1),
-            "unit": "frames/s",
-            "sec_per_step": round(result["sec_per_step"], 4),
-        }))
-        return
     if "--mfu" in sys.argv:
         result = run_jax(want_mfu=True)
         print(json.dumps({
@@ -581,32 +603,48 @@ def main():
         }))
         return
     if "--measure-baseline" in sys.argv:
-        result = run_torch_reference()
-        with open(BASELINE_PATH, "w") as f:
-            json.dump(
-                {
-                    "description": (
-                        "Reference PyTorch-CPU MAML outer step on the "
-                        "matched workload, sequential tasks, 4 BLAS "
-                        "threads (reference limit_threads). `higher` "
-                        "not installed in this image: measured as "
-                        "support fwd+bwd + query fwd+bwd per task — a "
-                        "LOWER bound on the reference's second-order "
-                        "cost (conservative for speedup claims)."
-                    ),
-                    "measured": result,
-                },
-                f,
-                indent=2,
+        r_base = int(_flag_value("--r") or 1)
+        result = run_torch_reference(r=r_base)
+        data = {
+            "description": (
+                "Reference PyTorch-CPU MAML outer step on the "
+                "matched workload, sequential tasks, 4 BLAS "
+                "threads (reference limit_threads). `higher` "
+                "not installed in this image: measured as "
+                "support fwd+bwd + query fwd+bwd per task — a "
+                "LOWER bound on the reference's second-order "
+                "cost (conservative for speedup claims). "
+                "measured = r=1; measured_r2 = n_frames_per_step=2 "
+                "(the shipped default; reference shimmed with the "
+                "NVIDIA gate-repeat fix its own r>1 path is missing)."
+            ),
+        }
+        if os.path.exists(BASELINE_PATH):
+            with open(BASELINE_PATH) as f:
+                prev = json.load(f)
+            data.update(
+                {k: v for k, v in prev.items() if k != "description"}
             )
+        data["measured" if r_base == 1 else f"measured_r{r_base}"] = result
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(data, f, indent=2)
         print(json.dumps(result))
         return
 
-    result = run_jax()
+    # Headline runs the SHIPPED default config: n_frames_per_step=2
+    # (quality-validated free 1.9x — benchmarks/quality_convergence.py
+    # and meta_advantage.py at --r 2, BENCHMARKS.md).  --r1 reproduces
+    # the old r=1 row.  vs_baseline always compares the MATCHED torch
+    # reference workload (same r), never across reduction factors.
+    r_head = 1 if "--r1" in sys.argv else 2
+    result = run_jax(r=r_head)
     baseline_fps = None
+    key = "measured" if r_head == 1 else f"measured_r{r_head}"
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
-            baseline_fps = json.load(f)["measured"]["frames_per_sec"]
+            baseline_fps = json.load(f).get(key, {}).get(
+                "frames_per_sec"
+            )
     vs = (
         result["frames_per_sec"] / baseline_fps
         if baseline_fps
@@ -618,6 +656,7 @@ def main():
                 "metric": "meta_train_mel_frames_per_sec",
                 "value": round(result["frames_per_sec"], 1),
                 "unit": "frames/s",
+                "r": r_head,
                 "vs_baseline": round(vs, 2) if vs else None,
             }
         )

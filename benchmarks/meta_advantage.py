@@ -493,6 +493,9 @@ def main():
         args.outer_steps, with_reference=not args.no_reference,
         seed=args.seed,
     )
+    print(json.dumps({"run": "meta_advantage", "r": args.r,
+                      "outer_steps": args.outer_steps,
+                      "seed": args.seed}))
     for r in rows + ref_rows:
         print(json.dumps(r))
 
