@@ -170,3 +170,89 @@ def trajectory_distances(param_history: list) -> np.ndarray:
         )
         out.append(float(d))
     return np.asarray(out)
+
+
+class TrajectoryTracker:
+    """Base optimization-trajectory tracker (reference
+    contrib/trajectories.py:13 — abstract __getitem__/get_item/
+    get_trajectory/save_position surface), pytree-native: positions
+    are parameter pytrees, stored as flat float32 vectors."""
+
+    def __getitem__(self, timestep: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_item(self, timestep: int) -> np.ndarray:
+        return self[timestep]
+
+    def get_trajectory(self) -> list:
+        raise NotImplementedError
+
+    def save_position(self, params) -> None:
+        raise NotImplementedError
+
+    @staticmethod
+    def _flatten(params) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(l, np.float32).ravel()
+             for l in jax.tree_util.tree_leaves(params)]
+        )
+
+
+class FullTrajectoryTracker(TrajectoryTracker):
+    """Stores the full parameter vector per timestep, spilled to
+    ``directory/<idx>.npy`` instead of kept in memory (reference
+    contrib/trajectories.py:56 FullTrajectoryTracker).  Unlike the
+    reference, construction does NOT implicitly save a position —
+    call ``save_position`` explicitly per logged step."""
+
+    def __init__(self, directory: str):
+        import os
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.next_idx = 0
+
+    def __getitem__(self, timestep: int) -> np.ndarray:
+        import os
+
+        if not 0 <= timestep < self.next_idx:
+            raise IndexError("Given timestep does not exist.")
+        return np.load(os.path.join(self.dir, f"{timestep}.npy"))
+
+    def save_position(self, params) -> None:
+        import os
+
+        np.save(
+            os.path.join(self.dir, f"{self.next_idx}.npy"),
+            self._flatten(params),
+        )
+        self.next_idx += 1
+
+    def get_trajectory(self) -> list:
+        return [self[i] for i in range(self.next_idx)]
+
+
+class ProjectingTrajectoryTracker(TrajectoryTracker):
+    """Projects each position onto ``n_bases`` fixed random directions
+    at storage time (least squares — reference
+    contrib/trajectories.py:93), so tracking an N-step trajectory of an
+    M-parameter model costs N·n_bases floats instead of N·M."""
+
+    def __init__(self, params, rng, n_bases: int = 2):
+        n = int(self._flatten(params).size)
+        self.A = np.asarray(
+            jax.random.normal(rng, (n, n_bases)), np.float64
+        )
+        self.trajectory: list[np.ndarray] = []
+
+    def __getitem__(self, timestep: int) -> np.ndarray:
+        return self.trajectory[timestep]
+
+    def save_position(self, params) -> None:
+        b = self._flatten(params).astype(np.float64)
+        self.trajectory.append(
+            np.linalg.lstsq(self.A, b, rcond=None)[0]
+        )
+
+    def get_trajectory(self) -> list:
+        return self.trajectory

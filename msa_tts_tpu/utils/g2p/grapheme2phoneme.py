@@ -144,12 +144,28 @@ class FallbackBackend:
 
 class SegmentsBackend:
     """Grapheme-map backend: longest-match tokenization over a
-    user-provided tab-separated ``grapheme\\tIPA`` profile file (the
-    format of the reference's vendored segments ``.g2p`` profiles —
-    msa_tts/utils/g2p/phonemizer_api/backend/segments.py).  The mapping
-    data itself is user-supplied; none is bundled."""
+    tab-separated ``grapheme\\tIPA`` profile file (the format of the
+    reference's vendored segments ``.g2p`` profiles —
+    msa_tts/utils/g2p/phonemizer_api/backend/segments.py).
+
+    ``profile_path`` is either a file path or the bare name of a
+    bundled language profile (``profiles/<name>.g2p`` next to this
+    module — hand-authored mappings, not the reference's files); the
+    reference resolves language names against its ``share/segments``
+    directory the same way (segments.py:79 is_supported_language)."""
 
     def __init__(self, profile_path: str):
+        import os
+
+        if not os.path.isfile(profile_path):
+            bundled = self.supported_languages().get(profile_path)
+            if bundled is None:
+                raise ValueError(
+                    f"segments profile {profile_path!r} is neither a "
+                    "file nor a bundled language "
+                    f"({sorted(self.supported_languages())})"
+                )
+            profile_path = bundled
         self.mapping: dict[str, str] = {}
         with open(profile_path, encoding="utf-8") as f:
             for line in f:
@@ -162,6 +178,21 @@ class SegmentsBackend:
         if not self.mapping:
             raise ValueError(f"empty g2p profile: {profile_path}")
         self._max_len = max(len(k) for k in self.mapping)
+
+    @staticmethod
+    def supported_languages() -> dict[str, str]:
+        """name -> path of the bundled ``profiles/*.g2p`` maps
+        (reference segments.py:62 supported_languages)."""
+        import os
+
+        d = os.path.join(os.path.dirname(__file__), "profiles")
+        if not os.path.isdir(d):
+            return {}
+        return {
+            f[:-4]: os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".g2p")
+        }
 
     def word_phone_lists(self, text: str,
                          language: str = "") -> list[list[str]]:

@@ -258,11 +258,10 @@ def phonemize(
         if backend == "segments":
             from .grapheme2phoneme import SegmentsBackend
 
-            if not segments_profile:
-                raise RuntimeError(
-                    "segments backend needs a grapheme-map profile path"
-                )
-            be = SegmentsBackend(segments_profile)
+            # profile path wins; otherwise ``language`` may name a
+            # bundled profile (reference semantics: language is a
+            # supported name or a user g2p file path, segments.py:79).
+            be = SegmentsBackend(segments_profile or language)
         else:
             from .grapheme2phoneme import FallbackBackend
 
@@ -298,3 +297,11 @@ def phonemize(
         phonemized = Punctuation.restore(phonemized, marks)
 
     return "\n".join(phonemized) if str_input else phonemized
+
+
+if __name__ == "__main__":  # pragma: no cover — thin delegate
+    import sys
+
+    from .__main__ import main
+
+    sys.exit(main())

@@ -107,6 +107,50 @@ def test_landscape_interpolation_convexity():
     assert surf.min() == pytest.approx(surf[2, 2], abs=1e-5)
 
 
+def test_trajectory_trackers(tmp_path):
+    """Full + projecting trajectory trackers (reference
+    contrib/trajectories.py parity): positions round-trip, projection
+    is exact least squares onto the fixed random bases."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tts_tpu.analysis.landscapes import (
+        FullTrajectoryTracker,
+        ProjectingTrajectoryTracker,
+        trajectory_distances,
+    )
+
+    history = [
+        {"w": jnp.full((3,), float(i)), "b": jnp.asarray([[i, -i]], jnp.float32)}
+        for i in range(4)
+    ]
+
+    full = FullTrajectoryTracker(str(tmp_path / "traj"))
+    for p in history:
+        full.save_position(p)
+    traj = full.get_trajectory()
+    assert len(traj) == 4 and traj[2].shape == (5,)
+    # pytree flatten order: "b" leaf before "w" leaf
+    np.testing.assert_allclose(traj[3], [3, -3, 3, 3, 3])
+    with pytest.raises(IndexError):
+        full[4]
+
+    proj = ProjectingTrajectoryTracker(
+        history[0], jax.random.PRNGKey(0), n_bases=2
+    )
+    for p in history:
+        proj.save_position(p)
+    pts = proj.get_trajectory()
+    assert len(pts) == 4 and pts[0].shape == (2,)
+    # exact lstsq solution for the known flat vector
+    b = np.asarray([2, -2, 2, 2, 2], np.float64)
+    expect = np.linalg.lstsq(proj.A, b, rcond=None)[0]
+    np.testing.assert_allclose(pts[2], expect)
+
+    d = trajectory_distances(history)
+    assert d[0] == 0.0 and np.all(np.diff(d) > 0)
+
+
 def test_config_optim_vocabularies():
     from msa_tts_tpu.config import parse_optim_params
     from msa_tts_tpu.optim import make_optimizer

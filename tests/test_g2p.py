@@ -467,3 +467,71 @@ def _allow_stub_backend(monkeypatch):
         orig_init(self, backend=backend, segments_profile=segments_profile)
 
     monkeypatch.setattr(G.Grapheme2Phoneme, "__init__", patched)
+
+
+# ---------------------------------------------------------------------------
+# Bundled segments profiles + CLI (round 4 — reference
+# share/segments/*.g2p out-of-the-box parity, phonemizer_api/main.py)
+# ---------------------------------------------------------------------------
+
+def test_bundled_profiles_resolve_by_name():
+    from msa_tts_tpu.utils.g2p.grapheme2phoneme import SegmentsBackend
+
+    langs = SegmentsBackend.supported_languages()
+    assert {"japanese", "spanish", "finnish"} <= set(langs)
+    be = SegmentsBackend("japanese")
+    assert be.phonemize_chunk("konnichiwa") == "konnitɕiɰa"
+    with pytest.raises(ValueError, match="neither a file nor"):
+        SegmentsBackend("klingon")
+
+
+@pytest.mark.parametrize(
+    "lang,text,expected",
+    [
+        ("japanese", "sushi tokyo", "sɯɕi tokjo"),
+        ("spanish", "chile qui jalapeño", "tʃile ki xalapeɲo"),
+        ("finnish", "hyvää päivää", "hyʋæː pæiʋæː"),
+    ],
+)
+def test_bundled_profiles_phonemize(lang, text, expected):
+    g2p = Grapheme2Phoneme(backend="segments", segments_profile=lang)
+    assert g2p.text_to_phone(text).strip() == expected
+    # every emitted symbol is in the framework vocabulary, so the
+    # training path (phone_to_idx) loses nothing
+    seq, phones = g2p.convert(text, convert_mode="text_to_phone_to_idx")
+    assert len(seq) == sum(1 for c in phones if c in CHAR_TO_ID)
+
+
+def test_bundled_profiles_cover_vocabulary():
+    """Every phoneme emitted by every bundled profile maps into the
+    IPA vocabulary (char_list) — a profile symbol outside the
+    vocabulary would be silently dropped at index time."""
+    from msa_tts_tpu.utils.g2p.grapheme2phoneme import SegmentsBackend
+
+    for name in SegmentsBackend.supported_languages():
+        be = SegmentsBackend(name)
+        for grapheme, phoneme in be.mapping.items():
+            for ch in phoneme:
+                assert ch in CHAR_TO_ID, (name, grapheme, phoneme, ch)
+
+
+def test_phonemizer_cli(tmp_path, capsys):
+    from msa_tts_tpu.utils.g2p.__main__ import main
+
+    # literal utterance through the fallback backend
+    assert main(["hello", "-b", "fallback"]) == 0
+    assert capsys.readouterr().out.strip() != ""
+
+    # file -> file through a bundled segments profile, custom separators
+    inp = tmp_path / "in.txt"
+    inp.write_text("konnichiwa\nsayonara\n", encoding="utf-8")
+    outp = tmp_path / "out.txt"
+    assert main([str(inp), "-o", str(outp), "-b", "segments",
+                 "-l", "japanese", "-p", "-", "--strip"]) == 0
+    lines = outp.read_text(encoding="utf-8").splitlines()
+    assert lines == ["k-o-n-n-i-tɕ-i-ɰ-a", "s-a-j-o-n-a-ɾ-a"]
+
+    # --list-languages
+    assert main(["--list-languages"]) == 0
+    listed = capsys.readouterr().out
+    assert "japanese" in listed and "spanish" in listed
