@@ -16,6 +16,7 @@ text as that speaker.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -40,9 +41,15 @@ from .utils.checkpoint import load_checkpoint, restore_like
 from .utils.g2p import Grapheme2Phoneme, N_SYMBOLS
 
 
-@dataclass
+@dataclass(eq=False)
 class Voice:
-    """An adapted speaker: params + state + d-vector."""
+    """An adapted speaker: params + state + d-vector.
+
+    ``eq=False``: voices are identity-keyed so :class:`AdaptiveTTS` can
+    cache their device placement in a WeakKeyDictionary (adapted
+    checkpoints typically arrive as host numpy; without the cache every
+    request re-uploads the full ~50 MB parameter tree, which dominated
+    adapted-voice TTFA)."""
 
     params: dict
     model_state: dict
@@ -74,6 +81,11 @@ class AdaptiveTTS:
         self.model_params = model_params
         self.model_state = model_state
         self.g2p = Grapheme2Phoneme()
+        # adapted-voice params device-placed ONCE per Voice (weak: a
+        # dropped Voice frees its device copy) — see Voice docstring
+        self._voice_cache: weakref.WeakKeyDictionary = (
+            weakref.WeakKeyDictionary()
+        )
 
         crit = params.get(
             "criterion", {"reduction": "none", "pos_weight": 1.0}
@@ -222,6 +234,22 @@ class AdaptiveTTS:
 
         return cast(p), cast(s), sv.astype(dt)
 
+    def _voice_arrays(self, voice: "Voice | None"):
+        """Device-resident (params, model_state) for ``voice`` (the
+        base model when None).  Placed on device once per Voice and
+        memoized — a race between request threads at worst uploads
+        twice (idempotent)."""
+        if voice is None:
+            return self.model_params, self.model_state
+        ent = self._voice_cache.get(voice)
+        if ent is None:
+            ent = (
+                jax.device_put(voice.params),
+                jax.device_put(voice.model_state),
+            )
+            self._voice_cache[voice] = ent
+        return ent
+
     # ------------------------------------------------------------- load
     @classmethod
     def from_experiment(cls, experiment_path: str, checkpoint_id: str = "0",
@@ -348,8 +376,7 @@ class AdaptiveTTS:
                    spk_emb: np.ndarray | None = None) -> np.ndarray:
         """Text → waveform as the adapted speaker (or the base model with
         an explicit ``spk_emb``)."""
-        params = voice.params if voice else self.model_params
-        state = voice.model_state if voice else self.model_state
+        params, state = self._voice_arrays(voice)
         emb = voice.spk_emb if voice else np.asarray(spk_emb, np.float32)
         seq, _ = self.g2p.convert(
             text,
@@ -382,8 +409,7 @@ class AdaptiveTTS:
         XLA programs instead of one per request mix; padded rows
         replicate row 0 and are discarded from the result.
         """
-        params = voice.params if voice else self.model_params
-        state = voice.model_state if voice else self.model_state
+        params, state = self._voice_arrays(voice)
         emb = voice.spk_emb if voice else np.asarray(spk_emb, np.float32)
         seqs = [
             self.g2p.convert(
@@ -834,8 +860,7 @@ def synthesize_stream(
     from .models.decoder import decoder_infer_segment, decoder_stream_init
     from .models.tacotron2nv import _encode, postnet_apply
 
-    params = voice.params if voice else self.model_params
-    state = voice.model_state if voice else self.model_state
+    params, state = self._voice_arrays(voice)
     emb = voice.spk_emb if voice else np.asarray(spk_emb, np.float32)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 

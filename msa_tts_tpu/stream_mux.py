@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -388,6 +389,11 @@ class _XlaEngine:
         return np.asarray(mels_h[i])    # already (n_mel, seg·r)
 
 
+class _BaseVoiceKey:
+    """Weakref-able stand-in key for voice=None in the per-Voice
+    decoder-table cache (kept alive by the multiplexer itself)."""
+
+
 class MuxSaturated(RuntimeError):
     """All slots busy AND the pending queue is at ``max_pending`` —
     the caller should shed load (server.py falls back to the solo
@@ -445,6 +451,12 @@ class StreamMultiplexer:
         self._rejected_total = 0
         self._admitted_total = 0
         self._completed_total = 0
+        # per-Voice cast decoder tables (weak — dropping a Voice frees
+        # its device copies); _base_key stands in for voice=None
+        self._dec_cache: weakref.WeakKeyDictionary = (
+            weakref.WeakKeyDictionary()
+        )
+        self._base_key = _BaseVoiceKey()
 
         if self.per_slot_params and backend == "pallas":
             raise ValueError(
@@ -562,10 +574,10 @@ class StreamMultiplexer:
                         f"{len(self._pending)} streams already queued "
                         f"(max_pending={self.max_pending})"
                     )
-        params = voice.params if voice is not None else tts.model_params
-        state = (
-            voice.model_state if voice is not None else tts.model_state
-        )
+        # device-resident per-Voice params (uploaded once, serving.py
+        # _voice_arrays — re-uploading ~50 MB per admission dominated
+        # adapted TTFA before this cache)
+        params, state = tts._voice_arrays(voice)
         emb = np.asarray(
             voice.spk_emb if voice is not None else spk_emb, np.float32
         )
@@ -575,11 +587,17 @@ class StreamMultiplexer:
         dec_params = None
         if self.per_slot_params:
             # the engine table holds infer-dtype weights (same cast the
-            # solo path applies before decoding)
-            p_cast, _, _ = tts._cast_infer(
-                params, {}, jnp.zeros((), jnp.float32), batch=1
-            )
-            dec_params = p_cast["decoder"]
+            # solo path applies before decoding); memoized per Voice —
+            # the cast result is immutable and re-streaming the same
+            # adapted voice is the common serving pattern
+            key = voice if voice is not None else self._base_key
+            dec_params = self._dec_cache.get(key)
+            if dec_params is None:
+                p_cast, _, _ = tts._cast_infer(
+                    params, {}, jnp.zeros((), jnp.float32), batch=1
+                )
+                dec_params = p_cast["decoder"]
+                self._dec_cache[key] = dec_params
 
         # encode OUTSIDE the worker tick (it's per-stream work and the
         # same jitted program the solo path runs — exactness contract);

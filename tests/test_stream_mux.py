@@ -422,8 +422,15 @@ def test_mixed_adapted_and_base_streams_concurrent():
             t.join(timeout=600)
         for i, (text, voice, emb) in enumerate(reqs):
             want = _solo(tts, text, emb, voice=voice)
+            # atol 1e-5 (not the suite's usual 1e-6): per-slot WEIGHTS
+            # make the engine a batched-weights dot_general, whose
+            # XLA:CPU accumulation order differs from the solo B=1 dot
+            # at the smoke tier's lowered LLVM codegen level
+            # (conftest.py) — measured drift ~2e-6 through the AR
+            # feedback.  At default codegen (and on TPU, where the
+            # flags don't apply) the match is exact.
             np.testing.assert_allclose(
-                results[i], want, atol=1e-6,
+                results[i], want, atol=1e-5,
                 err_msg=f"stream {i} ({text!r}) diverged from solo",
             )
     finally:
