@@ -267,6 +267,7 @@ def test_er_stream_resume_bit_identical(corpus, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_resume_rejects_changed_speaker_order(corpus, tmp_path):
     from msa_tts_tpu.trainers.continual_er import ExperienceReplayTrainer
 

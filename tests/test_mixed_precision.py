@@ -4,6 +4,7 @@ import json
 
 import jax
 import numpy as np
+import pytest
 
 from msa_tts_tpu.dataloaders.synthetic import (
     make_synthetic_corpus,
@@ -12,6 +13,7 @@ from msa_tts_tpu.dataloaders.synthetic import (
 from msa_tts_tpu.trainers.baseline import JointTrainer
 
 
+@pytest.mark.slow
 def test_bf16_compute_trains(tmp_path):
     root = str(tmp_path / "corpus")
     make_synthetic_corpus(

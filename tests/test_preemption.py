@@ -110,6 +110,7 @@ def test_watchdog_callback():
 
 
 # ------------------------------------------- trainer integration: joint
+@pytest.mark.slow
 def test_joint_sigterm_preempt_then_resume_bit_identical(tmp_path):
     """A preemption notice during epoch 2's test phase stops the run
     after that (complete) epoch with state saved; a ``resume: true``
