@@ -36,7 +36,12 @@ SENTENCES = [
 ]
 
 
-def build_tts(max_decoder_steps: int = 400):
+def build_tts(max_decoder_steps: int = 400, r: int = 1):
+    """Full-dim serving model.  ``r`` (n_frames_per_step): the shipped
+    example configs default to r=2 (BENCHMARKS.md "Shipped headline
+    moves to r=2"); ``max_decoder_steps`` is divided by ``r`` so a
+    given --steps produces the SAME audio length at any r (the honest
+    comparison — r=2 reaches it in half the sequential steps)."""
     from msa_tts_tpu.dataloaders.synthetic import synthetic_params
     from msa_tts_tpu.models import config_from_params, init_tacotron2nv
     from msa_tts_tpu.serving import AdaptiveTTS
@@ -50,7 +55,8 @@ def build_tts(max_decoder_steps: int = 400):
         encoder_n_convolutions=3, attention_rnn_dim=1024,
         decoder_rnn_dim=1024, prenet_dim=256,
         postnet_embedding_dim=512, postnet_n_convolutions=5,
-        max_decoder_steps=max_decoder_steps,
+        max_decoder_steps=max_decoder_steps // r,
+        n_frames_per_step=r,
         decoder_no_early_stopping=True,
         n_mel_channels=params["audio_params"]["n_mels"],
         n_symbols=N_SYMBOLS, num_speakers=1,
@@ -112,11 +118,14 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--conc", type=int, default=8)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--r", type=int, default=1,
+                    help="n_frames_per_step (2 = shipped default; "
+                         "same audio length in half the AR steps)")
     args = ap.parse_args()
 
     from msa_tts_tpu.server import TTSServer
 
-    tts = build_tts(args.steps)
+    tts = build_tts(args.steps, r=args.r)
     emb = np.zeros(
         tts.params["model"]["speaker_embedding_dim"], np.float32
     )

@@ -188,6 +188,9 @@ def main():
     ap.add_argument("--slots", default="4",
                     help="comma list of slot counts to sweep")
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--r", type=int, default=1,
+                    help="n_frames_per_step (2 = shipped default; "
+                         "same audio length in half the AR steps)")
     ap.add_argument("--vocoders", default="griffinlim,hifigan")
     ap.add_argument("--backends", default="auto",
                     help="comma list: auto,pallas,xla")
@@ -203,7 +206,7 @@ def main():
     from msa_tts_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    tts = build_tts(args.steps)
+    tts = build_tts(args.steps, r=args.r)
     attach_vocoders(tts)
     emb = np.zeros(
         tts.params["model"]["speaker_embedding_dim"], np.float32

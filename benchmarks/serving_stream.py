@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--n", type=int, default=24)
     ap.add_argument("--conc", type=int, default=4)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--r", type=int, default=1,
+                    help="n_frames_per_step (2 = shipped default; "
+                         "same audio length in half the AR steps)")
     ap.add_argument("--skip_wavernn_load", action="store_true",
                     help="skip the batched-load wavernn row (slowest)")
     args = ap.parse_args()
@@ -127,7 +130,7 @@ def main():
     # programs; persist them so reruns measure steady state, not compiles
     enable_compilation_cache()
 
-    tts = build_tts(args.steps)
+    tts = build_tts(args.steps, r=args.r)
     attach_vocoders(tts)
     emb = np.zeros(
         tts.params["model"]["speaker_embedding_dim"], np.float32
