@@ -634,9 +634,12 @@ def main():
     # Headline runs the SHIPPED default config: n_frames_per_step=2
     # (quality-validated free 1.9x — benchmarks/quality_convergence.py
     # and meta_advantage.py at --r 2, BENCHMARKS.md).  --r1 reproduces
-    # the old r=1 row.  vs_baseline always compares the MATCHED torch
-    # reference workload (same r), never across reduction factors.
-    r_head = 1 if "--r1" in sys.argv else 2
+    # the old r=1 row; --r N measures any reduction factor (T_mel=320
+    # must divide by it).  vs_baseline always compares the MATCHED
+    # torch reference workload (same r), never across reduction factors.
+    r_head = 1 if "--r1" in sys.argv else int(_flag_value("--r") or 2)
+    if T_MEL % r_head:
+        raise SystemExit(f"--r {r_head} does not divide T_mel={T_MEL}")
     result = run_jax(r=r_head)
     baseline_fps = None
     key = "measured" if r_head == 1 else f"measured_r{r_head}"
