@@ -78,6 +78,10 @@ class ServerStats:
         self._lock = threading.Lock()
         self.requests_total = 0
         self.errors_total = 0
+        # streaming clients hanging up mid-utterance (heard enough) are
+        # routine, not failures — counted separately so a healthy
+        # deployment's error rate stays honest
+        self.client_disconnects_total = 0
         self.batches_total = 0
         self.batched_requests_total = 0
         self._latencies = deque(maxlen=window)
@@ -87,10 +91,13 @@ class ServerStats:
             self.batches_total += 1
             self.batched_requests_total += n
 
-    def record_request(self, latency_s: float, error: bool) -> None:
+    def record_request(self, latency_s: float, error: bool,
+                       disconnect: bool = False) -> None:
         with self._lock:
             self.requests_total += 1
-            if error:
+            if disconnect:
+                self.client_disconnects_total += 1
+            elif error:
                 self.errors_total += 1
             else:
                 self._latencies.append(latency_s)
@@ -109,6 +116,7 @@ class ServerStats:
             return {
                 "requests_total": self.requests_total,
                 "errors_total": self.errors_total,
+                "client_disconnects_total": self.client_disconnects_total,
                 "batches_total": self.batches_total,
                 "mean_batch_size": mean_batch,
                 "latency_p50_s": pct(0.50),
@@ -301,10 +309,20 @@ class TTSServer:
         # keeps continuous batching too; over-cap texts / unsupported
         # attention configs / saturation fall back to the per-stream
         # path automatically.  stream_mux_adapted=0 disables the
-        # adapted mux (saves n_slots× decoder params of HBM); None
-        # mirrors stream_multiplex.
+        # adapted mux; None mirrors stream_multiplex.  The adapted mux
+        # is built LAZILY on the first register_voice — its per-slot
+        # weights table costs n_slots× the decoder params in device
+        # memory, which a base-voice-only deployment must not pay (and
+        # a voices-only deployment gets it even with stream_multiplex=0).
         self.stream_mux = None
         self.adapted_mux = None
+        self._adapted_mux_slots = (
+            int(stream_multiplex) if stream_mux_adapted is None
+            else int(stream_mux_adapted)
+        )
+        self._mux_t_cap = int(stream_mux_t_cap)
+        self._mux_max_pending = stream_mux_max_pending
+        self._adapted_mux_lock = threading.Lock()
         if stream_multiplex:
             from .stream_mux import StreamMultiplexer
 
@@ -320,24 +338,37 @@ class TTSServer:
                 logging.getLogger(__name__).warning(
                     "stream multiplexing disabled: %s", e
                 )
-            n_adapted = (
-                int(stream_multiplex) if stream_mux_adapted is None
-                else int(stream_mux_adapted)
-            )
-            if n_adapted:
-                self.adapted_mux = StreamMultiplexer(
-                    tts, n_slots=n_adapted,
-                    t_cap=int(stream_mux_t_cap),
-                    device_lock=self._device_lock,
-                    backend="xla", per_slot_params=True,
-                    max_pending=stream_mux_max_pending,
-                )
         self._httpd: ThreadingHTTPServer | None = None
         self._http_thread: threading.Thread | None = None
 
     # ------------------------------------------------------------- api
     def register_voice(self, name: str, voice: Voice) -> None:
         self._voices[name] = voice
+        self._ensure_adapted_mux()
+
+    def _ensure_adapted_mux(self) -> None:
+        """Build the adapted-voice multiplexer on first use (idempotent,
+        thread-safe)."""
+        if self.adapted_mux is not None or not self._adapted_mux_slots:
+            return
+        from .stream_mux import StreamMultiplexer
+
+        with self._adapted_mux_lock:
+            if self.adapted_mux is not None:
+                return
+            try:
+                self.adapted_mux = StreamMultiplexer(
+                    self.tts, n_slots=self._adapted_mux_slots,
+                    t_cap=self._mux_t_cap,
+                    device_lock=self._device_lock,
+                    backend="xla", per_slot_params=True,
+                    max_pending=self._mux_max_pending,
+                )
+            except ValueError as e:  # unsupported attention config
+                logging.getLogger(__name__).warning(
+                    "adapted-voice stream multiplexing disabled: %s", e
+                )
+                self._adapted_mux_slots = 0
 
     def start(self) -> int:
         """Start batcher + HTTP listener; returns the bound port."""
@@ -404,8 +435,11 @@ class TTSServer:
             for _ in self.stream_chunks(t, voice_name, vocoder):
                 pass
         # the adapted-voice mux runs its own (per-slot-weights) segment
-        # program — warm it through the first registered voice
-        if self.adapted_mux is not None and self._voices:
+        # program — warm it through the first registered voice, unless
+        # the loop above already streamed through it (no default_spk_emb
+        # ⇒ voice_name was that same first voice)
+        if (self.adapted_mux is not None and self._voices
+                and voice_name is None):
             first = next(iter(sorted(self._voices)))
             for t in texts:
                 for _ in self.stream_chunks(t, first, vocoder):
@@ -789,10 +823,19 @@ def _make_handler(server: TTSServer):
                 # with the chunked body unterminated is the HTTP-level
                 # truncation signal, so clients can tell half an
                 # utterance from a complete response.
-                print(f"[server] stream aborted: {e!r}", flush=True)
                 self.close_connection = True
+                # a client hanging up mid-stream (heard enough) is
+                # routine, not a server failure — same premise as the
+                # quiet-server disconnect handling; don't inflate
+                # errors_total with every normal early hang-up
+                hangup = isinstance(
+                    e, (BrokenPipeError, ConnectionResetError)
+                )
+                if not hangup:
+                    print(f"[server] stream aborted: {e!r}", flush=True)
                 server.stats.record_request(
-                    time.monotonic() - t0, error=True
+                    time.monotonic() - t0, error=not hangup,
+                    disconnect=hangup,
                 )
             else:
                 # record BEFORE the terminal chunk: once the client

@@ -375,10 +375,13 @@ class _XlaEngine:
             )
         if self.per_slot and dec_params is None:
             dec_params = self._p_cast["decoder"]
+        # non-per-slot mode: _insert_fn never reads pdec_row, so don't
+        # flatten/dispatch the whole decoder tree as a dead argument on
+        # every admission — a scalar keeps the jit signature stable
         self.dev = self._insert_jit(
             self.dev, jnp.asarray(idx, jnp.int32), enc_row,
             jnp.asarray([n_in], jnp.int32), rng_row,
-            dec_params if self.per_slot else self._p_cast["decoder"],
+            dec_params if self.per_slot else jnp.zeros((), jnp.float32),
         )
 
     def seg(self):
@@ -450,7 +453,11 @@ class StreamMultiplexer:
         self.lock = device_lock or threading.Lock()
         self._rejected_total = 0
         self._admitted_total = 0
+        # completed counts every terminated stream (errored included, so
+        # in-flight = admitted - completed - queue_depth always balances);
+        # errored counts the subset that ended with an exception
         self._completed_total = 0
+        self._errored_total = 0
         # per-Voice cast decoder tables (weak — dropping a Voice frees
         # its device copies); _base_key stands in for voice=None
         self._dec_cache: weakref.WeakKeyDictionary = (
@@ -521,6 +528,7 @@ class StreamMultiplexer:
                 "max_pending": self.max_pending,
                 "admitted_total": self._admitted_total,
                 "completed_total": self._completed_total,
+                "errored_total": self._errored_total,
                 "rejected_total": self._rejected_total,
             }
 
@@ -566,11 +574,16 @@ class StreamMultiplexer:
         # an exact semaphore.
         if self.max_pending is not None:
             with self._cond:
-                if (len(self._pending) >= self.max_pending
-                        and all(s.active for s in self._slots)):
+                # capacity = free slots + allowed queue: a burst that
+                # arrives between worker ticks must not queue past
+                # max_pending behind the streams that will grab the
+                # free slots (gating on all-slots-busy alone lets the
+                # queue grow unboundedly whenever one slot is free)
+                free = sum(not s.active for s in self._slots)
+                if len(self._pending) >= self.max_pending + free:
                     self._rejected_total += 1
                     raise MuxSaturated(
-                        f"all {self.B} slots busy and "
+                        f"{self.B - free}/{self.B} slots busy and "
                         f"{len(self._pending)} streams already queued "
                         f"(max_pending={self.max_pending})"
                     )
@@ -648,17 +661,31 @@ class StreamMultiplexer:
     def _admit(self):
         """Move pending requests into free slots (device insert)."""
         for i, slot in enumerate(self._slots):
-            if not self._pending:
-                break
-            if slot.active:
+            with self._cond:
+                if not self._pending:
+                    break
+                if slot.active:
+                    continue
+                (enc_row, n_in, rng_row, cursor, out,
+                 dec_params) = self._pending.pop(0)
+                # reserve the slot BEFORE the device insert: between the
+                # pop and activation the stream would otherwise be
+                # invisible to the admission bound (neither queued nor
+                # active), letting a burst slip past max_pending
+                slot.active = True
+            try:
+                with self.lock:
+                    self.engine.insert(
+                        i, enc_row, n_in, rng_row, dec_params=dec_params
+                    )
+            except BaseException as e:  # deliver to THIS stream only
+                with self._cond:
+                    self._errored_total += 1
+                    self._completed_total += 1
+                slot.active = False
+                out.put(e)
+                out.put(None)
                 continue
-            (enc_row, n_in, rng_row, cursor, out,
-             dec_params) = self._pending.pop(0)
-            with self.lock:
-                self.engine.insert(
-                    i, enc_row, n_in, rng_row, dec_params=dec_params
-                )
-            slot.active = True
             slot.cursor = cursor
             slot.out = out
             slot.step = 0
@@ -682,9 +709,19 @@ class StreamMultiplexer:
             except BaseException as e:  # surface to every waiting client
                 for s in self._slots:
                     if s.active and s.out is not None:
-                        s.out.put(e)
-                        s.out.put(None)
+                        out = s.out
+                        # account + free the slot BEFORE the client can
+                        # observe the terminal chunk (same ordering as
+                        # _advance_slot; keeps admitted==completed+inflight
+                        # and drops the cursor's postnet/vocoder state)
+                        with self._cond:
+                            self._errored_total += 1
+                            self._completed_total += 1
                         s.active = False
+                        s.cursor = None
+                        s.out = None
+                        out.put(e)
+                        out.put(None)
                 continue
             futs = []
             for i, slot in enumerate(self._slots):
@@ -708,12 +745,19 @@ class StreamMultiplexer:
             for c in chunks:
                 slot.out.put(np.asarray(c, np.float32))
         except BaseException as e:
+            with self._cond:
+                self._errored_total += 1
             slot.out.put(e)
             final = True
         if final:
-            slot.out.put(None)
+            # record completion BEFORE the terminal chunk is observable —
+            # a client that drains the stream and immediately reads
+            # /stats must see itself counted (same race class as
+            # ServerStats' record-before-respond ordering)
+            with self._cond:
+                self._completed_total += 1
+            out = slot.out
             slot.active = False
             slot.cursor = None
             slot.out = None
-            with self._cond:
-                self._completed_total += 1
+            out.put(None)

@@ -524,3 +524,60 @@ def test_six_slot_xla_mux_matches_solo():
             )
     finally:
         mux.close()
+
+
+def test_mux_backpressure_bounds_queue_with_free_slots():
+    """A burst arriving between worker ticks must not queue past
+    max_pending + free slots: with one slot and max_pending=0, the
+    second of two back-to-back stream() calls is shed whether or not
+    the worker has moved the first into its slot yet (pre-fix, any
+    free slot disabled the bound entirely and the queue grew without
+    limit)."""
+    from msa_tts_tpu.stream_mux import MuxSaturated
+
+    tts = _tts(max_decoder_steps=2000)
+    tts.decode_backend = "xla"
+    mux = StreamMultiplexer(
+        tts, n_slots=1, t_cap=T_CAP, segment_steps=SEG,
+        backend="xla", max_pending=0,
+    )
+    try:
+        emb = np.zeros(6, np.float32)
+        mux.stream("hold it", spk_emb=emb)
+        # no wait: the first stream may still be pending (free=1,
+        # pending=1 -> reject) or already admitted (free=0,
+        # pending=0 -> reject) — bounded either way
+        with pytest.raises(MuxSaturated):
+            mux.stream("burst", spk_emb=emb)
+        assert mux.metrics()["rejected_total"] == 1
+    finally:
+        mux.close()
+
+
+def test_adapted_mux_without_base_multiplex_and_lazy_build():
+    """stream_mux_adapted works standalone (no --stream_multiplex), and
+    the per-slot weights table is only allocated once a voice is
+    registered — a base-voice-only deployment pays nothing for the
+    default-mirrored adapted mux."""
+    from msa_tts_tpu.server import TTSServer
+
+    tts = _tts()
+    tts.decode_backend = "xla"
+
+    # voices-only deployment: no base mux, adapted mux configured
+    srv = TTSServer(tts, text_pad_multiple=T_CAP,
+                    stream_mux_adapted=2, stream_mux_t_cap=T_CAP)
+    assert srv.stream_mux is None
+    assert srv.adapted_mux is None          # lazy: nothing registered yet
+    srv.register_voice("v1", _fake_voice(tts, 7))
+    assert srv.adapted_mux is not None
+    assert srv.adapted_mux.B == 2
+    srv.stop()
+
+    # base-only deployment: mirrored adapted mux never materializes
+    srv2 = TTSServer(tts, text_pad_multiple=T_CAP,
+                     default_spk_emb=np.zeros(6, np.float32),
+                     stream_multiplex=2, stream_mux_t_cap=T_CAP)
+    assert srv2.stream_mux is not None
+    assert srv2.adapted_mux is None
+    srv2.stop()
