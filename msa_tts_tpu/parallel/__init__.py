@@ -5,6 +5,7 @@ from .shard_meta import (
     make_sharded_reptile_step,
     shard_task_batch_2d,
 )
+from .tp import shard_tree_tp, tp_leaf_spec, tp_shardings
 from .sharding import (
     batch_sharding,
     jit_with_mesh,
@@ -28,5 +29,8 @@ __all__ = [
     "shard_batch",
     "shard_task_batch",
     "shard_task_batch_2d",
+    "shard_tree_tp",
     "task_batch_sharding",
+    "tp_leaf_spec",
+    "tp_shardings",
 ]

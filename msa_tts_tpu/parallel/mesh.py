@@ -22,21 +22,38 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(dp: int | None = None, task: int = 1, devices=None) -> Mesh:
-    """Create a ``(dp, task)`` mesh.  ``dp=None`` uses all remaining
-    devices for data parallelism."""
+def make_mesh(dp: int | None = None, task: int = 1, tp: int = 1,
+              devices=None) -> Mesh:
+    """Create a ``(dp, task)`` mesh — or ``(dp, task, tp)`` when a
+    tensor-parallel degree > 1 is requested.  ``dp=None`` uses all
+    remaining devices for data parallelism.
+
+    ``tp`` is the innermost axis (fastest-varying over the device
+    order) so tensor-parallel collectives — the per-step all_gathers
+    GSPMD inserts for the sharded LSTM/projection weights — ride
+    adjacent-chip ICI links while dp/task gradient psums span the
+    slower outer dimension.  With tp=1 the mesh stays 2-axis, so every
+    existing ``P("dp"/"task")`` spec (and shard_map over the 2-D meta
+    layout) is unchanged."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    tp = int(tp or 1)
     if dp is None:
-        if n % task != 0:
-            raise ValueError(f"{n} devices not divisible by task={task}")
-        dp = n // task
-    if dp * task > n:
+        if n % (task * tp) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by task={task} x tp={tp}"
+            )
+        dp = n // (task * tp)
+    if dp * task * tp > n:
         raise ValueError(
-            f"mesh {dp}x{task} needs {dp * task} devices, have {n}"
+            f"mesh {dp}x{task}x{tp} needs {dp * task * tp} devices, "
+            f"have {n}"
         )
-    grid = np.asarray(devices[: dp * task]).reshape(dp, task)
-    return Mesh(grid, axis_names=("dp", "task"))
+    if tp == 1:
+        grid = np.asarray(devices[: dp * task]).reshape(dp, task)
+        return Mesh(grid, axis_names=("dp", "task"))
+    grid = np.asarray(devices[: dp * task * tp]).reshape(dp, task, tp)
+    return Mesh(grid, axis_names=("dp", "task", "tp"))
 
 
 def single_device_mesh() -> Mesh:

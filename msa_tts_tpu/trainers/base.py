@@ -270,15 +270,33 @@ class TrainerBase:
             task_batch_sharding,
         )
 
+        tp = int(pcfg.get("tp", 1))
         self.mesh = make_mesh(
-            dp=pcfg.get("dp"), task=int(pcfg.get("task", 1))
+            dp=pcfg.get("dp"), task=int(pcfg.get("task", 1)), tp=tp
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._task_sharding = task_batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
-        self.train_state = replicate_state(self.train_state, self.mesh)
-        dp, task = self.mesh.devices.shape
-        print(f"[parallel] SPMD mesh dp={dp} task={task} "
+        if tp > 1:
+            # tensor parallel: weights/optimizer moments sharded over
+            # the tp axis (parallel/tp.py), batch still over dp·task —
+            # the step programs are unchanged; GSPMD partitions the
+            # matmuls and inserts the tp collectives
+            from ..parallel.tp import shard_tree_tp
+
+            if int(pcfg.get("task", 1)) > 1:
+                raise NotImplementedError(
+                    "parallel: tp composes with dp, not with the "
+                    "task axis (the shard_map meta layout manages its "
+                    "own mesh) — use {dp, tp} or {dp, task}"
+                )
+            self.train_state = shard_tree_tp(self.train_state, self.mesh)
+        else:
+            self.train_state = replicate_state(self.train_state, self.mesh)
+        shape_desc = "x".join(
+            f"{k}={v}" for k, v in self.mesh.shape.items()
+        )
+        print(f"[parallel] SPMD mesh {shape_desc} "
               f"({self.mesh.size} devices)")
 
     def _put_batch(self, batch: dict) -> dict:
@@ -470,9 +488,18 @@ class TrainerBase:
         Checkpoints are mesh-shape-agnostic numpy trees, so this is also
         the elastic-recovery path: restore on any device count."""
         if getattr(self, "mesh", None) is not None:
-            from ..parallel import replicate_state
+            if "tp" in self.mesh.shape and self.mesh.shape["tp"] > 1:
+                from ..parallel.tp import shard_tree_tp
 
-            self.train_state = replicate_state(self.train_state, self.mesh)
+                self.train_state = shard_tree_tp(
+                    self.train_state, self.mesh
+                )
+            else:
+                from ..parallel import replicate_state
+
+                self.train_state = replicate_state(
+                    self.train_state, self.mesh
+                )
 
     # ------------------------------------------------ failure detection
     def _preempt_requested(self) -> bool:

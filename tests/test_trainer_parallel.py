@@ -339,3 +339,45 @@ def test_full_dim_meta_step_partitions():
     # exercises tiny meta + joint + serving decode + FULL-DIM meta;
     # raises / asserts internally on any partition or numeric failure
     graft.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_joint_trainer_tp_config_matches_single(tmp_path):
+    """Joint training with ``parallel: {dp: 2, tp: 4}`` — weights
+    Megatron-sharded over tp, batch over dp (parallel/tp.py) — vs the
+    plain single-device run: same programs, GSPMD layouts only."""
+    from msa_tts_tpu.trainers.baseline import JointTrainer
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(
+        root, n_speakers=2, utterances_per_speaker=7, seed=23,
+        min_dur=0.25, max_dur=0.4,
+    )
+
+    def mkparams(out, **extra):
+        params = synthetic_params(
+            root, n_speakers=2, batch_size=8, n_epochs=2,
+            do_metatest=False,
+            model_overrides={"max_decoder_steps": 10},
+        )
+        params.update(
+            use_tensorboard=False, tb_log_interval=100,
+            plot_examples=False, output_path=str(tmp_path / out),
+            optim={"optimizer_type": "SGD", "lr": "1e-2"},
+        )
+        params.update(extra)
+        return params
+
+    t_single = JointTrainer(**mkparams("single"))
+    t_single.run()
+
+    t_tp = JointTrainer(
+        **mkparams("tp", parallel={"dp": 2, "tp": 4})
+    )
+    assert t_tp.mesh is not None and t_tp.mesh.shape["tp"] == 4
+    t_tp.run()
+
+    assert t_tp.step_global == t_single.step_global
+    _leaves_close(
+        t_tp.train_state.params, t_single.train_state.params, atol=3e-5
+    )
