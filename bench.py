@@ -590,10 +590,11 @@ def main():
         }))
         return
     if "--mfu" in sys.argv:
-        result = run_jax(want_mfu=True)
+        r_mfu = int(_flag_value("--r") or 2)   # shipped default r=2
+        result = run_jax(r=r_mfu, want_mfu=True)
         print(json.dumps({
             "metric": "meta_train_mfu",
-            "k": K, "s": S, "scan_remat": SCAN_REMAT,
+            "k": K, "s": S, "r": r_mfu, "scan_remat": SCAN_REMAT,
             "sec_per_step": round(result["sec_per_step"], 4),
             "compile_sec": round(result["compile_sec"], 1),
             "frames_per_sec": round(result["frames_per_sec"], 1),

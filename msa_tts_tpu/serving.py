@@ -174,6 +174,35 @@ class AdaptiveTTS:
         # B/dp batch Mosaic can compile).
         pcfg = params.get("parallel") or {}
         self._dp = int(pcfg.get("dp", 1))
+        # parallel: {tp: M} — tensor-parallel serving: the DECODER
+        # WEIGHTS shard over an M-chip tp axis (parallel/tp.py) and the
+        # per-step matmuls split across chips, cutting the weight-read
+        # time that bounds small-batch AR decode.  Pure GSPMD: params
+        # arrive as tp-sharded arrays and jit propagates the layout —
+        # the decode program is unchanged.  Composes with serving dp as
+        # either/or (dp = batch throughput, tp = per-stream latency);
+        # the Pallas whole-loop kernel is single-device by construction,
+        # so tp forces the XLA decode backend.
+        self._tp = int(pcfg.get("tp", 1))
+        self._tp_mesh = None
+        if self._tp > 1:
+            if self._dp > 1:
+                raise NotImplementedError(
+                    "serving parallel: use {dp: N} (batch throughput) "
+                    "or {tp: M} (per-stream latency), not both"
+                )
+            from .parallel.mesh import make_mesh
+            from .parallel.tp import shard_tree_tp
+
+            self._tp_mesh = make_mesh(dp=1, task=1, tp=self._tp)
+            self._tp_min_dim = int(pcfg.get("tp_min_dim", 128))
+            self.decode_backend = "xla"
+            self.model_params = shard_tree_tp(
+                self.model_params, self._tp_mesh, self._tp_min_dim
+            )
+            self.model_state = shard_tree_tp(
+                self.model_state, self._tp_mesh, self._tp_min_dim
+            )
         self._infer_jit = jax.jit(_infer)     # single-utterance path
         self._infer_sharded = None
         if self._dp > 1:
@@ -243,10 +272,23 @@ class AdaptiveTTS:
             return self.model_params, self.model_state
         ent = self._voice_cache.get(voice)
         if ent is None:
-            ent = (
-                jax.device_put(voice.params),
-                jax.device_put(voice.model_state),
-            )
+            if self._tp_mesh is not None:
+                from .parallel.tp import shard_tree_tp
+
+                ent = (
+                    shard_tree_tp(
+                        voice.params, self._tp_mesh, self._tp_min_dim
+                    ),
+                    shard_tree_tp(
+                        voice.model_state, self._tp_mesh,
+                        self._tp_min_dim
+                    ),
+                )
+            else:
+                ent = (
+                    jax.device_put(voice.params),
+                    jax.device_put(voice.model_state),
+                )
             self._voice_cache[voice] = ent
         return ent
 

@@ -158,3 +158,71 @@ def test_dp_sharded_batched_synthesis_matches_single_device():
     one = np.asarray(tts4.synthesize("hello there", vocoder="none",
                                      spk_emb=emb))
     assert np.isfinite(one).all()
+
+
+def test_tp_sharded_synthesis_matches_single_device():
+    """parallel: {tp: M} shards the decoder WEIGHTS over the tp mesh
+    axis (parallel/tp.py) and GSPMD partitions the AR decode; with
+    prenet dropout disabled the output must match the single-device
+    decode up to matmul reduction order, with identical lengths."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+    from msa_tts_tpu.serving import AdaptiveTTS
+
+    AP2 = dict(sample_rate=22050, n_fft=512, win_length=512,
+               hop_length=128, f_min=0.0, f_max=8000.0, n_mels=20,
+               griffinlim_iters=4)
+    MODEL2 = {
+        "mask_padding": False, "n_mel_channels": 20,
+        "n_frames_per_step": 2, "n_symbols": 200,
+        "symbols_embedding_dim": 16, "encoder_n_convolutions": 2,
+        "encoder_embedding_dim": 16, "encoder_kernel_size": 5,
+        "speaker_emb_type": "static", "num_speakers": 1,
+        "speaker_embedding_dim": 6, "attention_rnn_dim": 20,
+        "decoder_rnn_dim": 20, "prenet_dim": 12,
+        "p_prenet_dropout": 0.0,          # deterministic for equality
+        "max_decoder_steps": 16, "gate_threshold": 0.5,
+        "p_attention_dropout": 0.1, "p_decoder_dropout": 0.1,
+        "decoder_no_early_stopping": True,
+        "postnet_embedding_dim": 16, "postnet_kernel_size": 5,
+        "postnet_n_convolutions": 2,
+        "attention_params": {
+            "attention_type": "ForwardAttention", "attention_dim": 16,
+            "attention_location_n_filters": 8,
+            "attention_location_kernel_size": 15, "windowing": False,
+            "norm": "softmax", "forward_attn": True,
+            "trans_agent": True, "forward_attn_mask": False,
+        },
+    }
+    cfg = config_from_params(dict(MODEL2))
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    emb = np.random.RandomState(0).randn(6).astype(np.float32)
+    base = {"model": dict(MODEL2), "audio_params": dict(AP2)}
+    texts = ["hello there", "hi", "one more line"]
+    kw = dict(spk_emb=emb, vocoder="none", rng=jax.random.PRNGKey(7),
+              text_pad_multiple=8)
+
+    tts1 = AdaptiveTTS(dict(base), p0, s0)
+    ref = tts1.synthesize_batch(list(texts), **kw)
+
+    # tp_min_dim=4 so the 16/20-dim toy leaves actually shard
+    tts_tp = AdaptiveTTS(
+        dict(base, parallel={"tp": 4, "tp_min_dim": 4}), p0, s0
+    )
+    assert tts_tp._tp_mesh is not None
+    assert tts_tp.decode_backend == "xla"
+    # at least one param leaf must really be tp-sharded (non-vacuous)
+    shardings = [
+        x.sharding for x in jax.tree_util.tree_leaves(tts_tp.model_params)
+    ]
+    assert any(
+        "tp" in (getattr(sh, "spec", ()) or ()) for sh in shardings
+    ), shardings
+    out = tts_tp.synthesize_batch(list(texts), **kw)
+    assert len(out) == len(ref) == 3
+    for a, b in zip(out, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    one = np.asarray(
+        tts_tp.synthesize("hello there", vocoder="none", spk_emb=emb)
+    )
+    assert np.isfinite(one).all()
