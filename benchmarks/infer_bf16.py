@@ -48,6 +48,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--r", type=int, default=2,
+                    help="n_frames_per_step (shipped default 2); steps "
+                         "are divided by r for constant audio length")
     args = ap.parse_args()
 
     from msa_tts_tpu.serving import AdaptiveTTS
@@ -55,7 +58,7 @@ def main():
 
     enable_compilation_cache()
 
-    tts32 = build_tts(args.steps)
+    tts32 = build_tts(args.steps, r=args.r)
     tts16 = AdaptiveTTS(
         dict(tts32.params, infer_dtype="bfloat16"),
         tts32.model_params, tts32.model_state,

@@ -52,9 +52,9 @@ AP = {
 }
 
 
-def make_cfg(max_steps):
+def make_cfg(max_steps, r=2):
     return DecoderConfig(
-        n_mel_channels=80, n_frames_per_step=2,
+        n_mel_channels=80, n_frames_per_step=r,
         encoder_embedding_dim=576, attention_rnn_dim=1024,
         decoder_rnn_dim=1024, prenet_dim=256,
         max_decoder_steps=max_steps, gate_threshold=0.5,
@@ -121,19 +121,21 @@ def bench_decode(cfg, B, T_in, dtype, n_timed=4):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--r", type=int, default=2,
+                    help="n_frames_per_step; decoder steps are divided "
+                         "by r so every r emits the same audio length "
+                         "(the shipped default is 2)")
+    ap.add_argument("--batches", default="1,2,4,8,16",
+                    help="comma-separated batch sizes to sweep")
     args = ap.parse_args(argv)
-    steps = 200 if args.quick else 400
-    cfg = make_cfg(steps)
+    steps = (200 if args.quick else 400) // args.r
+    cfg = make_cfg(steps, args.r)
     rows = []
-    for B, dtype in (
-        (1, jnp.bfloat16),
-        (1, jnp.float32),
-        (8, jnp.bfloat16),
-        (16, jnp.bfloat16),
-    ):
-        rows.append(bench_decode(cfg, B, 192, dtype,
-                                 n_timed=2 if args.quick else 4))
-    print(json.dumps({"decode": rows}))
+    for B in (int(b) for b in args.batches.split(",")):
+        for dtype in (jnp.bfloat16, jnp.float32):
+            rows.append(bench_decode(cfg, B, 192, dtype,
+                                     n_timed=2 if args.quick else 4))
+    print(json.dumps({"r": args.r, "decode": rows}))
 
 
 if __name__ == "__main__":

@@ -118,7 +118,7 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--conc", type=int, default=8)
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--r", type=int, default=1,
+    ap.add_argument("--r", type=int, default=2,
                     help="n_frames_per_step (2 = shipped default; "
                          "same audio length in half the AR steps)")
     args = ap.parse_args()

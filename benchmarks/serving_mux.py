@@ -188,7 +188,7 @@ def main():
     ap.add_argument("--slots", default="4",
                     help="comma list of slot counts to sweep")
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--r", type=int, default=1,
+    ap.add_argument("--r", type=int, default=2,
                     help="n_frames_per_step (2 = shipped default; "
                          "same audio length in half the AR steps)")
     ap.add_argument("--vocoders", default="griffinlim,hifigan")

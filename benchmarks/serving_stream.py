@@ -116,7 +116,7 @@ def main():
     ap.add_argument("--n", type=int, default=24)
     ap.add_argument("--conc", type=int, default=4)
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--r", type=int, default=1,
+    ap.add_argument("--r", type=int, default=2,
                     help="n_frames_per_step (2 = shipped default; "
                          "same audio length in half the AR steps)")
     ap.add_argument("--skip_wavernn_load", action="store_true",

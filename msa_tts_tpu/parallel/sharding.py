@@ -92,6 +92,15 @@ class DpShard:
         pcfg = params.get("parallel")
         if not pcfg:
             return None
+        if int(pcfg.get("tp", 1)) > 1:
+            # mirror TrainerBase._setup_parallel's combination checks:
+            # silently building a dp-only mesh when the user asked for
+            # tensor parallelism would drop the request without error
+            raise NotImplementedError(
+                "parallel: {tp: N} is not supported for the vocoder "
+                "trainers (DpShard is dp/task only) — tensor "
+                "parallelism is an acoustic-trainer/serving feature"
+            )
         from .mesh import make_mesh
 
         mesh = make_mesh(dp=pcfg.get("dp"), task=int(pcfg.get("task", 1)))

@@ -50,8 +50,15 @@ def tp_leaf_spec(shape: tuple, tp: int, min_dim: int = 128) -> P:
 
 def tp_shardings(tree, mesh: Mesh, min_dim: int = 128):
     """A pytree of NamedShardings matching ``tree`` (params, optimizer
-    moments, model state — anything whose leaves mirror param shapes)."""
-    tp = mesh.shape["tp"]
+    moments, model state — anything whose leaves mirror param shapes).
+
+    A mesh without a ``tp`` axis (or with tp=1) degrades to fully
+    replicated specs instead of raising, so callers can apply the tp
+    layout unconditionally."""
+    tp = mesh.shape.get("tp", 1)
+    if tp == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: repl, tree)
 
     def one(x):
         shape = getattr(x, "shape", ())

@@ -30,6 +30,7 @@ from __future__ import annotations
 import io
 import json
 import queue
+import ssl
 import logging
 import threading
 import time
@@ -828,8 +829,11 @@ def _make_handler(server: TTSServer):
                 # routine, not a server failure — same premise as the
                 # quiet-server disconnect handling; don't inflate
                 # errors_total with every normal early hang-up
+                # ConnectionError covers BrokenPipe/Reset/Aborted (the
+                # Aborted flavor is what some platforms and proxies
+                # raise); SSLEOFError is the TLS-wrapped equivalent
                 hangup = isinstance(
-                    e, (BrokenPipeError, ConnectionResetError)
+                    e, (ConnectionError, ssl.SSLEOFError)
                 )
                 if not hangup:
                     print(f"[server] stream aborted: {e!r}", flush=True)

@@ -299,16 +299,26 @@ class TrainerBase:
         print(f"[parallel] SPMD mesh {shape_desc} "
               f"({self.mesh.size} devices)")
 
+    @property
+    def _data_axes_size(self) -> int:
+        """Number of devices the batch axis is actually sharded over:
+        dp·task only — NOT mesh.size, which also counts the tp axis
+        (batch specs are P(("dp","task")); with dp=2,tp=4 a batch of 6
+        must fall back on 6 % 2, not 6 % 8)."""
+        return int(
+            self.mesh.shape.get("dp", 1) * self.mesh.shape.get("task", 1)
+        )
+
     def _put_batch(self, batch: dict) -> dict:
         """Place a host batch with the data-parallel layout (no-op
-        without a mesh; a tail batch not divisible by the mesh size is
+        without a mesh; a tail batch not divisible by the data axes is
         replicated — correct, just not parallel)."""
         if self.mesh is None:
             return batch
         B = int(next(iter(batch.values())).shape[0])
         sh = (
             self._batch_sharding
-            if B % self.mesh.size == 0 else self._replicated
+            if B % self._data_axes_size == 0 else self._replicated
         )
         return jax.device_put(batch, sh)
 
@@ -322,7 +332,7 @@ class TrainerBase:
         K = int(next(iter(batch.values())).shape[0])
         sh = (
             self._task_sharding
-            if K % self.mesh.size == 0 else self._replicated
+            if K % self._data_axes_size == 0 else self._replicated
         )
         return jax.device_put(batch, sh)
 

@@ -781,3 +781,59 @@ def test_tp_leaf_spec_prefers_largest_divisible_axis():
     assert tp_leaf_spec((129, 256), 4) == P(None, "tp")
     # scalar
     assert tp_leaf_spec((), 4) == P()
+
+
+def test_tp_shardings_degrade_without_tp_axis():
+    """ADVICE r4: a mesh without a tp axis (make_mesh(tp=1) is 2-axis)
+    must yield replicated specs, not KeyError — dryrun_multichip(1)
+    applies the tp layout unconditionally."""
+    from msa_tts_tpu.parallel.tp import shard_tree_tp, tp_shardings
+
+    mesh = make_mesh(dp=1, task=1)
+    tree = {"w": jnp.ones((256, 256)), "b": jnp.ones((256,))}
+    shardings = tp_shardings(tree, mesh)
+    for sh in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: hasattr(x, "spec")
+    ):
+        assert sh.spec == jax.sharding.PartitionSpec()
+    out = shard_tree_tp(tree, mesh)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(tree["w"]))
+
+
+def test_dpshard_rejects_tp():
+    """ADVICE r4: a vocoder trainer configured with parallel: {tp: M}
+    must fail loudly instead of silently building a dp-only mesh."""
+    from msa_tts_tpu.parallel.sharding import DpShard
+
+    with pytest.raises(NotImplementedError, match="tp"):
+        DpShard.from_params({"parallel": {"dp": 2, "tp": 4}})
+    # tp=1 is the "not requested" spelling and must still work
+    assert DpShard.from_params({"parallel": {"dp": 2, "tp": 1}}) is not None
+
+
+def test_put_batch_divisibility_uses_data_axes_not_mesh_size():
+    """ADVICE r4: with dp=2,tp=4 a batch of 6 is divisible by the data
+    axes (dp·task=2) and must be sharded — gating on mesh.size=8 would
+    silently replicate it."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from msa_tts_tpu.parallel.sharding import batch_sharding, replicated
+
+    class _T:
+        _put_batch = __import__(
+            "msa_tts_tpu.trainers.base", fromlist=["TrainerBase"]
+        ).TrainerBase._put_batch
+        _data_axes_size = __import__(
+            "msa_tts_tpu.trainers.base", fromlist=["TrainerBase"]
+        ).TrainerBase._data_axes_size
+
+    t = _T()
+    t.mesh = make_mesh(dp=2, task=1, tp=4)
+    t._batch_sharding = batch_sharding(t.mesh)
+    t._replicated = replicated(t.mesh)
+    assert t._data_axes_size == 2
+    out = t._put_batch({"x": np.zeros((6, 3), np.float32)})
+    assert not out["x"].sharding.is_fully_replicated
+    # a genuinely indivisible batch still falls back to replication
+    out = t._put_batch({"x": np.zeros((5, 3), np.float32)})
+    assert out["x"].sharding.is_fully_replicated
