@@ -253,9 +253,11 @@ def run_jax(n_steps: int = 4, r: int = 1, want_mfu: bool = False) -> dict:
     return out
 
 
-def run_jax_joint(n_steps: int = 6) -> dict:
+def run_jax_joint(n_steps: int = 6, r: int = 1) -> dict:
     """Joint-trainer throughput: one jitted supervised step (forward +
-    grads + adam) at batch B = K·S on the same model dims."""
+    grads + adam) at batch B = K·S on the same model dims.  ``r`` is
+    n_frames_per_step — frames/step stays B·T_mel at any r (teacher
+    forcing emits T_mel frames; the decoder scan runs T_mel/r steps)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -265,7 +267,7 @@ def run_jax_joint(n_steps: int = 6) -> dict:
     from msa_tts_tpu.optim import TrainState
 
     bf16 = BF16 and "--fp32" not in sys.argv
-    cfg = _model_cfg()
+    cfg = _model_cfg(r)
     params, state = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
 
@@ -581,11 +583,13 @@ def main():
         print(json.dumps(recompile_audit(), indent=2))
         return
     if "--joint" in sys.argv:
-        result = run_jax_joint()
+        r_joint = int(_flag_value("--r") or 2)   # shipped default r=2
+        result = run_jax_joint(r=r_joint)
         print(json.dumps({
             "metric": "joint_train_mel_frames_per_sec",
             "value": round(result["frames_per_sec"], 1),
             "unit": "frames/s",
+            "r": r_joint,
             "sec_per_step": round(result["sec_per_step"], 4),
         }))
         return

@@ -59,14 +59,26 @@ def main():
     enable_compilation_cache()
 
     tts32 = build_tts(args.steps, r=args.r)
+    # build_tts's params carry no infer_dtype key → the shipped default
+    # (auto, round 5); pin the static rows explicitly
+    tts32.params = dict(tts32.params)
+    tts32 = AdaptiveTTS(
+        dict(tts32.params, infer_dtype="float32"),
+        tts32.model_params, tts32.model_state,
+    )
     tts16 = AdaptiveTTS(
         dict(tts32.params, infer_dtype="bfloat16"),
+        tts32.model_params, tts32.model_state,
+    )
+    ttsauto = AdaptiveTTS(
+        dict(tts32.params, infer_dtype="auto"),
         tts32.model_params, tts32.model_state,
     )
     emb = np.zeros((64,), np.float32)
 
     rows = []
-    for label, tts in (("fp32", tts32), ("bf16", tts16)):
+    for label, tts in (("fp32", tts32), ("bf16", tts16),
+                       ("auto", ttsauto)):
         dt1, fr1, m1 = _time_synth(tts, SENTENCES[:1], emb)
         dtb, frb, mb = _time_synth(
             tts, (SENTENCES * args.batch)[: args.batch], emb
@@ -76,13 +88,18 @@ def main():
               f"batch={args.batch} {dtb:.3f}s ({frb / dtb:,.0f} frames/s)",
               flush=True)
 
-    (l32, s32, f32, b32, fb32, mel32), (l16, s16, f16, b16, fb16, mel16) = rows
+    ((l32, s32, f32, b32, fb32, mel32),
+     (l16, s16, f16, b16, fb16, mel16),
+     (la, sa, fa, ba, fba, mela)) = rows
     n = min(mel32.shape[-1], mel16.shape[-1])
     drift = float(np.max(np.abs(mel32[:, :n] - mel16[:, :n])))
     from msa_tts_tpu.ops.metrics import mcd
 
     mcd_v = float(mcd(mel32[:, :n].T, mel16[:, :n].T, xp=np))
     print(f"\nspeedup: single {s32 / s16:.2f}x, batch {b32 / b16:.2f}x")
+    print(f"auto (shipped default) vs best static: "
+          f"single {min(s32, s16) / sa:.2f}x, "
+          f"batch {min(b32, b16) / ba:.2f}x of best")
     print(f"drift vs fp32 (same weights/text): max|dmel|={drift:.4f}, "
           f"MCD={mcd_v:.4f}")
 

@@ -132,8 +132,30 @@ class AdaptiveTTS:
         # independent rows and always take bf16 under auto — solo and
         # multiplexed streams therefore stay byte-matched.
         # infer_bf16_max_batch overrides the measured crossover bucket.
-        idt = params.get("infer_dtype")
-        self._infer_auto = idt == "auto"
+        #
+        # DEFAULT (round 5): ``auto`` — same precedent as
+        # ``decode_backend``: the measured-best route is on by default
+        # on the hardware where it was measured, and a no-op elsewhere.
+        # Off-TPU, ``auto`` resolves to fp32-everywhere (bf16 is
+        # emulated on CPU — slower AND it would break cross-batch-size
+        # mel parity for hosts that never see the win).  On TPU the
+        # only behavior change vs fp32 is that mels from a ≤crossover
+        # batch differ from a >crossover batch by bf16 rounding
+        # (max |Δlog-mel| ~0.2 at random init, MCD 0.77 — BENCHMARKS.md);
+        # solo == streamed == muxed parity is preserved because every
+        # streaming path resolves the same per-row bf16.  Deployments
+        # that need strict dtype uniformity across batch sizes set
+        # ``infer_dtype: float32`` (or ``bfloat16``) explicitly.
+        from .utils.backend import on_tpu
+
+        idt = params.get("infer_dtype", "auto")
+        if idt not in (None, "auto", "float32", "fp32",
+                       "bfloat16", "bf16"):
+            raise ValueError(
+                f"unknown infer_dtype {idt!r}: expected 'auto', "
+                "'float32' or 'bfloat16'"
+            )
+        self._infer_auto = idt == "auto" and on_tpu()
         self._bf16_max_batch = int(params.get("infer_bf16_max_batch", 2))
         self._infer_dtype = (
             jnp.bfloat16 if idt in ("bfloat16", "bf16") else None

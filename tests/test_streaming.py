@@ -335,20 +335,32 @@ def test_bf16_infer_dtype_close_to_fp32():
     assert not np.allclose(m16, m32)  # actually computed in bf16
 
 
-def test_infer_dtype_auto_routes_by_batch():
-    """infer_dtype: auto — bf16 for small batches (the measured win
-    region: weight-streaming-bound decode) and fp32 for large batched
-    groups (where bf16 measured a LOSS — BENCHMARKS.md infer_bf16).
-    The route must reproduce the respective static setting exactly."""
+def test_infer_dtype_auto_routes_by_batch(monkeypatch):
+    """infer_dtype: auto (the round-5 DEFAULT) — bf16 for small batches
+    (the measured win region: weight-streaming-bound decode) and fp32
+    for large batched groups (where bf16 measured a LOSS —
+    BENCHMARKS.md infer_bf16).  Auto routes only on TPU hardware (the
+    decode_backend precedent) — simulated here — and the route must
+    reproduce the respective static setting exactly."""
+    import msa_tts_tpu.utils.backend as backend_mod
     from msa_tts_tpu.models import config_from_params, init_tacotron2nv
 
+    monkeypatch.setattr(backend_mod, "on_tpu", lambda: True)
     mp = dict(MODEL)
     cfg = config_from_params(mp)
     p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
     base = {"model": mp, "audio_params": dict(AP)}
-    tts32 = AdaptiveTTS(dict(base), p0, s0)
-    tts16 = AdaptiveTTS(dict(base, infer_dtype="bfloat16"), p0, s0)
-    ttsa = AdaptiveTTS(dict(base, infer_dtype="auto"), p0, s0)
+    # decode_backend pinned to xla: the on_tpu patch must not make the
+    # CPU test try to Mosaic-compile the kernel
+    tts32 = AdaptiveTTS(
+        dict(base, infer_dtype="float32", decode_backend="xla"), p0, s0
+    )
+    tts16 = AdaptiveTTS(
+        dict(base, infer_dtype="bfloat16", decode_backend="xla"), p0, s0
+    )
+    # no infer_dtype key: the DEFAULT is auto
+    ttsa = AdaptiveTTS(dict(base, decode_backend="xla"), p0, s0)
+    assert ttsa._infer_auto
 
     import jax.numpy as jnp
 
@@ -371,9 +383,28 @@ def test_infer_dtype_auto_routes_by_batch():
 
     # the crossover bucket is a measured config knob
     tts_k = AdaptiveTTS(
-        dict(base, infer_dtype="auto", infer_bf16_max_batch=8), p0, s0
+        dict(base, infer_dtype="auto", infer_bf16_max_batch=8,
+             decode_backend="xla"), p0, s0
     )
     assert tts_k._resolve_infer_dtype(8) == jnp.bfloat16
+
+
+def test_infer_dtype_auto_is_noop_off_tpu():
+    """Off TPU hardware, the auto default resolves to fp32-everywhere —
+    CPU hosts get neither emulated bf16 nor cross-batch dtype drift."""
+    from msa_tts_tpu.models import config_from_params, init_tacotron2nv
+
+    mp = dict(MODEL)
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(3), cfg)
+    tts = AdaptiveTTS({"model": mp, "audio_params": dict(AP)}, p0, s0)
+    assert not tts._infer_auto
+    assert tts._resolve_infer_dtype(1) is None
+    with pytest.raises(ValueError, match="infer_dtype"):
+        AdaptiveTTS(
+            {"model": mp, "audio_params": dict(AP),
+             "infer_dtype": "bf32"}, p0, s0,
+        )
 
 
 @pytest.mark.slow
