@@ -128,20 +128,28 @@ def fits_vmem(cfg: DecoderConfig, B: int, T_in: int,
     )
 
 
-# Measured on v5e (benchmarks/pallas_decoder_bench.py, 2026-08-18,
-# 400 fixed steps, T=192): speedup vs the XLA while-loop is
-# B=1: 2.6×(bf16)/3.4×(f32), B=2: 2.6×/1.7×, B=4: 1.9×/1.6×,
-# B=8 and B=16: parity-or-worse (0.7-1.1× across repeats) — the
-# single-kernel VPU serializes the (B, T, A) attention work that XLA
-# spreads across cores once the batch is large enough to hide the
-# weight re-reads.  `auto` routes larger batches back to XLA.
-_MAX_PROFITABLE_B = 4
+# Measured on v5e (benchmarks/pallas_decoder_bench.py, full same-day
+# sweep 2026-08-21 on the current r-aware kernel, T=192, fixed steps at
+# matched audio length): speedup vs the XLA while-loop (bf16/f32) is
+#   r=1: B=4: 2.5×/1.5×, B=8: 2.1×/1.3×, B=16: 1.22× (bf16; f32 is
+#        VMEM-gated to XLA anyway);
+#   r=2 (the shipped default): B=1: 2.2×/3.0×, B=2: 2.2×/1.4×,
+#        B=4: 1.8×/2.0×, B=8: 1.6×/1.3×, B=16: 0.61×.
+# (The round-3 "B=8 loses" figure predates the round-4 kernel rework —
+# the current kernel measures 3× faster at B=8 than that table.)
+# B≤8 wins with solid margin at every measured r; B=16 is a clear loss
+# at the shipped r=2 and within relay variance at r=1, so `auto`
+# routes B>8 back to XLA.  The ``r`` parameter keeps the gate
+# re-calibratable per reduction factor without touching callers.
+_MAX_PROFITABLE_B = {}          # per-r overrides (none currently)
+_MAX_PROFITABLE_B_DEFAULT = 8
 
 
-def profitable(B: int) -> bool:
+def profitable(B: int, r: int = 1) -> bool:
     """True when the whole-loop kernel beats the XLA decode at batch
-    ``B`` on the measured hardware envelope."""
-    return B <= _MAX_PROFITABLE_B
+    ``B`` and reduction factor ``r`` on the measured hardware
+    envelope."""
+    return B <= _MAX_PROFITABLE_B.get(int(r), _MAX_PROFITABLE_B_DEFAULT)
 
 
 # --------------------------------------------------------------------------

@@ -324,7 +324,7 @@ def tacotron2nv_infer(
         B_, T_ = enc_cond.shape[0], enc_cond.shape[1]
         use_pallas = (
             supports_config(dcfg)
-            and profitable(B_)
+            and profitable(B_, dcfg.n_frames_per_step)
             and fits_vmem(
                 dcfg, B_, T_,
                 params["decoder"]["attention_rnn"]["weight_ih"].dtype,

@@ -968,7 +968,9 @@ def synthesize_stream(
 
                 use_pallas = (
                     supports_config(dcfg)
-                    and profitable(int(enc.shape[0]))
+                    and profitable(
+                        int(enc.shape[0]), dcfg.n_frames_per_step
+                    )
                     and fits_vmem(
                         dcfg._replace(max_decoder_steps=segment_steps),
                         int(enc.shape[0]), int(enc.shape[1]),

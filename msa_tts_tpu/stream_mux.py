@@ -410,7 +410,8 @@ class StreamMultiplexer:
     ``backend``: ``"pallas"`` (whole-segment kernel), ``"xla"``
     (vmapped segment scan), or ``"auto"`` — the kernel where it is
     supported, fits VMEM, and its measured batch gate says it wins
-    (``pallas_decoder.profitable``: B ≤ 4), the XLA engine otherwise.
+    (``pallas_decoder.profitable``: B ≤ 8 at every measured r), the
+    XLA engine otherwise.
 
     ``per_slot_params=True`` selects the XLA engine with a stacked
     per-slot decoder-weights table so ``stream(..., voice=...)`` can
@@ -478,7 +479,8 @@ class StreamMultiplexer:
             wdt = p_cast["decoder"]["attention_rnn"]["weight_ih"].dtype
             backend = "pallas" if (
                 not self.per_slot_params
-                and supports_config(dcfg) and profitable(self.B)
+                and supports_config(dcfg)
+                and profitable(self.B, dcfg.n_frames_per_step)
                 and (self.interpret or fits_vmem(
                     dcfg._replace(max_decoder_steps=self.n_seg),
                     self.B, self.t_cap, wdt,

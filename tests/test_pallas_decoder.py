@@ -157,12 +157,15 @@ def test_vmem_gate_routes_large_configs_to_xla():
 
 def test_profitability_gate_routes_large_batches_to_xla():
     """`decode_backend: auto` uses the kernel only where the v5e
-    measurements show it wins (B≤4 — BENCHMARKS.md); larger batches go
-    back to the XLA while-loop even when they'd fit in VMEM."""
+    measurements show it wins (B≤8 at every measured r — BENCHMARKS.md
+    round-5 crossover sweep; B=16 loses at the shipped r=2); larger
+    batches go back to the XLA while-loop even when they'd fit VMEM."""
     from msa_tts_tpu.models.pallas_decoder import profitable
 
     assert profitable(1) and profitable(2) and profitable(4)
-    assert not profitable(8) and not profitable(16)
+    assert profitable(8) and not profitable(16)
+    assert profitable(8, r=2) and not profitable(16, r=2)
+    assert profitable(8, r=4) and not profitable(16, r=4)
 
 
 @pytest.mark.slow

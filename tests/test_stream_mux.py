@@ -324,13 +324,17 @@ def test_text_longer_than_cap_rejected(tts, mux):
 
 
 def test_auto_backend_routing():
-    """auto = kernel inside its measured win region (B≤4, supported
-    config), XLA past it or for kernel-unsupported attention configs."""
+    """auto = kernel inside its measured win region (B≤8 at every
+    measured r — BENCHMARKS.md round-5 crossover sweep), XLA past it
+    or for kernel-unsupported attention configs."""
     tts = _tts()
     m = StreamMultiplexer(tts, n_slots=3, t_cap=T_CAP, segment_steps=SEG)
     assert m.backend == "pallas"
     m.close()
     m = StreamMultiplexer(tts, n_slots=6, t_cap=T_CAP, segment_steps=SEG)
+    assert m.backend == "pallas"
+    m.close()
+    m = StreamMultiplexer(tts, n_slots=12, t_cap=T_CAP, segment_steps=SEG)
     assert m.backend == "xla"
     m.close()
     ap = dict(MODEL["attention_params"], windowing=True)
@@ -489,13 +493,16 @@ def test_mux_backpressure_and_metrics():
 
 
 def test_six_slot_xla_mux_matches_solo():
-    """n_slots past the kernel's batch gate: six concurrent streams
-    through the auto-routed XLA engine each match their solo run —
-    the per-slot absolute-step key schedule survives vmapping."""
+    """Six concurrent streams through the XLA engine each match their
+    solo run — the per-slot absolute-step key schedule survives
+    vmapping.  (Forced xla: at the shipped r=2 the auto route now picks
+    the kernel engine at 6 slots — the r=2 crossover sweep moved the
+    gate to B≤8; the vmapped engine still must stay solo-exact since it
+    serves >8-slot and adapted muxes.)"""
     tts = _tts()
     tts.decode_backend = "xla"
     mux = StreamMultiplexer(
-        tts, n_slots=6, t_cap=T_CAP, segment_steps=SEG,
+        tts, n_slots=6, t_cap=T_CAP, segment_steps=SEG, backend="xla",
     )
     assert mux.backend == "xla"
     try:
