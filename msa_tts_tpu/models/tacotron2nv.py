@@ -338,6 +338,12 @@ def tacotron2nv_infer(
                 params["decoder"], dcfg, enc_cond, input_lengths, k_dec
             )
         )
+        # The kernel accumulates in f32 regardless of the weight dtype
+        # (AR exactness); the XLA decoder emits the compute dtype.
+        # Re-cast so the postnet sees one dtype on either backend —
+        # under bf16-cast params a f32 mel would otherwise crash the
+        # postnet conv (mixed-dtype conv_general_dilated).
+        mel_outputs = mel_outputs.astype(enc_cond.dtype)
     else:
         mel_outputs, gate_outputs, alignments, mel_lengths, n_steps = (
             decoder_infer(

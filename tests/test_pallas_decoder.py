@@ -376,3 +376,63 @@ def test_parity_lsa_ignores_location_attention_flag():
     _parity(_cfg(ap={
         "attention_type": "LSA", "location_attention": False,
     }))
+
+
+def test_bf16_params_pallas_backend_full_infer(monkeypatch):
+    """Regression (round 5): under infer_dtype bf16 serving casts ALL
+    params (postnet included) to bf16, while the kernel emits f32 mels
+    (in-kernel f32 accumulation) — tacotron2nv_infer must re-cast the
+    kernel output to the compute dtype before the postnet or the
+    postnet conv crashes on mixed dtypes.  Found by
+    benchmarks/infer_bf16.py --r 2 on hardware; interpret-mode here."""
+    import functools
+
+    import msa_tts_tpu.models.pallas_decoder as pd
+    from msa_tts_tpu.models import (
+        config_from_params,
+        init_tacotron2nv,
+        tacotron2nv_infer,
+    )
+    from msa_tts_tpu.utils.g2p.char_list import N_SYMBOLS
+
+    monkeypatch.setattr(
+        pd, "pallas_decoder_infer",
+        functools.partial(pd.pallas_decoder_infer, interpret=True),
+    )
+    mp = dict(
+        n_symbols=N_SYMBOLS, n_mel_channels=10, num_speakers=1,
+        symbols_embedding_dim=16, encoder_embedding_dim=16,
+        encoder_n_convolutions=1, encoder_kernel_size=5,
+        attention_rnn_dim=20, decoder_rnn_dim=28, prenet_dim=12,
+        postnet_embedding_dim=16, postnet_n_convolutions=2,
+        postnet_kernel_size=5, max_decoder_steps=9,
+        n_frames_per_step=2, decoder_no_early_stopping=True,
+        speaker_emb_type="static", speaker_embedding_dim=8,
+        mask_padding=False, gate_threshold=0.5,
+        p_attention_dropout=0.1, p_decoder_dropout=0.1,
+        attention_params={
+            "attention_type": "ForwardAttention", "attention_dim": 16,
+            "attention_location_n_filters": 8,
+            "attention_location_kernel_size": 15, "windowing": False,
+            "norm": "softmax", "forward_attn": True, "trans_agent": True,
+            "forward_attn_mask": False,
+        },
+    )
+    cfg = config_from_params(mp)
+    p0, s0 = init_tacotron2nv(jax.random.PRNGKey(0), cfg)
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, t
+    )
+    p16, s16 = cast(p0), cast(s0)
+    inputs = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    il = jnp.asarray([4], jnp.int32)
+    sv = jnp.zeros((1, 8), jnp.bfloat16)
+    mel, mel_len, align = tacotron2nv_infer(
+        p16, s16, cfg, inputs, il, sv, jax.random.PRNGKey(1),
+        decoder_backend="pallas",
+    )
+    assert mel.dtype == jnp.bfloat16
+    assert mel.shape[0] == 1 and np.isfinite(
+        np.asarray(mel, np.float32)
+    ).all()
