@@ -122,15 +122,17 @@ class AdaptiveTTS:
         # the decoder weights every step (BENCHMARKS.md MFU analysis),
         # so bf16 halves the per-step traffic; outputs return as fp32.
         # Same cast the trainers' compute_dtype uses (trainers/base.py).
-        # infer_dtype: auto — route by batch size: bf16 where the decode
-        # is weight-streaming-bound (small B — the measured win region,
-        # BENCHMARKS.md infer_bf16: 1.39× at B=1, 0.87× LOSS at B=16)
-        # and fp32 for larger batched groups.  The decision is made at
-        # trace time from the batch dimension (each bucket is its own
-        # XLA program anyway), so the dynamic batcher gets best-of-both
-        # with no per-deployment flag.  Streaming paths decode B=1-
-        # independent rows and always take bf16 under auto — solo and
-        # multiplexed streams therefore stay byte-matched.
+        # infer_dtype: auto — route by decode backend AND batch size:
+        # bf16 where the decode is weight-streaming-bound (the XLA
+        # while-loop at small B — measured 1.23× at B=1/r=2, a LOSS by
+        # B=2; under the Pallas kernel the weights are VMEM-resident
+        # and fp32 measured faster, BENCHMARKS.md round-5 re-bench).
+        # The decision is made at trace time from the batch dimension
+        # (each bucket is its own XLA program anyway), so the dynamic
+        # batcher gets best-of-both with no per-deployment flag.
+        # Streaming paths decode B=1-independent rows and take the same
+        # backend-routed dtype — solo and multiplexed streams therefore
+        # stay byte-matched.
         # infer_bf16_max_batch overrides the measured crossover bucket.
         #
         # DEFAULT (round 5): ``auto`` — same precedent as
@@ -156,7 +158,10 @@ class AdaptiveTTS:
                 "'float32' or 'bfloat16'"
             )
         self._infer_auto = idt == "auto" and on_tpu()
-        self._bf16_max_batch = int(params.get("infer_bf16_max_batch", 2))
+        # crossover re-measured at the shipped r=2 (round 5): the XLA
+        # decode's bf16 win holds only at B=1 (1.23×; B=2 measured a
+        # loss, 106 vs 72 µs/step)
+        self._bf16_max_batch = int(params.get("infer_bf16_max_batch", 1))
         self._infer_dtype = (
             jnp.bfloat16 if idt in ("bfloat16", "bf16") else None
         )
@@ -258,10 +263,20 @@ class AdaptiveTTS:
 
     def _resolve_infer_dtype(self, batch: int | None = None):
         """The compute dtype for a decode at ``batch`` rows: the static
-        setting, or — under ``infer_dtype: auto`` — bf16 up to the
-        measured crossover batch and fp32 beyond it.  ``batch=None``
-        means a streaming/per-row context (always bf16 under auto)."""
+        setting, or — under ``infer_dtype: auto`` — bf16 exactly where
+        it measures a win: the XLA while-loop decode at ≤ the crossover
+        batch, i.e. where the AR step is HBM-bound streaming the
+        decoder weights (halving the weight width halves the binding
+        traffic — tp serving, kernel-unsupported configs, non-kernel
+        hosts).  Under the Pallas whole-loop kernel the weights are
+        VMEM-resident, the streaming cost is already gone, and fp32
+        measured faster end-to-end (round-5 r=2 re-bench: fp32 single
+        0.058 s vs bf16 0.067 s), so auto resolves fp32 there.
+        ``batch=None`` means a streaming/per-row context (bf16 under
+        auto only on the XLA backend, same rule)."""
         if self._infer_auto:
+            if self.decode_backend != "xla":
+                return None
             if batch is None or batch <= self._bf16_max_batch:
                 return jnp.bfloat16
             return None

@@ -336,12 +336,13 @@ def test_bf16_infer_dtype_close_to_fp32():
 
 
 def test_infer_dtype_auto_routes_by_batch(monkeypatch):
-    """infer_dtype: auto (the round-5 DEFAULT) — bf16 for small batches
-    (the measured win region: weight-streaming-bound decode) and fp32
-    for large batched groups (where bf16 measured a LOSS —
-    BENCHMARKS.md infer_bf16).  Auto routes only on TPU hardware (the
-    decode_backend precedent) — simulated here — and the route must
-    reproduce the respective static setting exactly."""
+    """infer_dtype: auto (the round-5 DEFAULT) — bf16 exactly where the
+    decode is weight-streaming-bound: the XLA while-loop backend at
+    ≤ crossover batch.  Under the Pallas kernel (weights VMEM-resident)
+    and for large batched groups bf16 measured a LOSS, so auto resolves
+    fp32 there (BENCHMARKS.md round-5 re-bench).  Auto routes only on
+    TPU hardware (the decode_backend precedent) — simulated here — and
+    the route must reproduce the respective static setting exactly."""
     import msa_tts_tpu.utils.backend as backend_mod
     from msa_tts_tpu.models import config_from_params, init_tacotron2nv
 
@@ -365,9 +366,17 @@ def test_infer_dtype_auto_routes_by_batch(monkeypatch):
     import jax.numpy as jnp
 
     assert ttsa._resolve_infer_dtype(1) == jnp.bfloat16
-    assert ttsa._resolve_infer_dtype(2) == jnp.bfloat16
+    assert ttsa._resolve_infer_dtype(2) is None   # r=2 crossover: B=1
     assert ttsa._resolve_infer_dtype(4) is None
     assert ttsa._resolve_infer_dtype(None) == jnp.bfloat16  # streaming
+
+    # under the kernel backend the weights are VMEM-resident — auto
+    # resolves fp32 at every batch (bf16 buys nothing and measured
+    # slower end-to-end)
+    ttsp = AdaptiveTTS(dict(base, decode_backend="pallas"), p0, s0)
+    assert ttsp._infer_auto
+    assert ttsp._resolve_infer_dtype(1) is None
+    assert ttsp._resolve_infer_dtype(None) is None
 
     # B=1: auto == the static bf16 path, bit for bit
     m_a = np.asarray(ttsa.synthesize("hello", vocoder="none", spk_emb=EMB))
