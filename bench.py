@@ -28,14 +28,18 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_PATH = os.path.join(HERE, "BASELINE_MEASURED.json")
 
-# Matched workload (identical for both implementations).  K=8,S=8 is
-# the measured single-chip knee of the round-3 batch sweep
-# (BENCHMARKS.md): 64 rows is the largest meta-batch that fits without
-# remat, and every remat-unlocked larger batch measured SLOWER.
-# `--k/--s` override it; the torch baseline is measured at this same
-# shape (BASELINE_MEASURED.json — sequential tasks, so its frames/s is
-# nearly flat in K·S anyway).
-K, S = 8, 8               # tasks × shots
+# Matched workload (identical for both implementations).  K=8,S=16 is
+# the round-5 headline shape: the r=2 K×S ladder (BENCHMARKS.md)
+# showed the task axis K is the expensive dimension (each task is a
+# vmapped weight/optimizer instance) while shots S scale almost like
+# pure batch — 8×16 is 1.64× the old 8×8 knee at the SAME task count,
+# and the meta_advantage quality protocol measured raising S at fixed
+# K as quality-neutral-to-better (while cutting K measurably hurts
+# adaptation — the throughput-optimal 2×64 shape is NOT the default
+# for that reason).  `--k/--s` override it; the torch baseline is
+# measured at the same shape (BASELINE_MEASURED.json, shape-keyed —
+# sequential tasks, so its frames/s is nearly flat in K·S anyway).
+K, S = 8, 16              # tasks × shots
 T_IN, T_MEL = 96, 320     # phoneme / mel-frame lengths
 N_INNER = 1
 N_MELS = 80
@@ -630,7 +634,12 @@ def main():
             data.update(
                 {k: v for k, v in prev.items() if k != "description"}
             )
-        data["measured" if r_base == 1 else f"measured_r{r_base}"] = result
+        key = "measured" if r_base == 1 else f"measured_r{r_base}"
+        if (K, S) != (8, 8):
+            # shape-aware keys: the r-ladder history rows were measured
+            # at the round-3/4 8×8 knee and stay under the bare keys
+            key += f"_k{K}s{S}"
+        data[key] = result
         with open(BASELINE_PATH, "w") as f:
             json.dump(data, f, indent=2)
         print(json.dumps(result))
@@ -648,6 +657,8 @@ def main():
     result = run_jax(r=r_head)
     baseline_fps = None
     key = "measured" if r_head == 1 else f"measured_r{r_head}"
+    if (K, S) != (8, 8):
+        key += f"_k{K}s{S}"
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline_fps = json.load(f).get(key, {}).get(

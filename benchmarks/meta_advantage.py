@@ -485,9 +485,24 @@ def main():
     ap.add_argument("--r", type=int, default=1,
                     help="reduction factor n_frames_per_step (r=2 "
                          "quality-evidence run — BENCHMARKS.md)")
+    ap.add_argument("--k", type=int, default=None,
+                    help="speakers (tasks) per meta-batch — override "
+                         "for meta-batch-shape quality runs (round-5 "
+                         "K×S ladder evidence)")
+    ap.add_argument("--s", type=int, default=None,
+                    help="support utterances (shots) per task")
     args = ap.parse_args()
     MODEL_PARAMS["n_frames_per_step"] = args.r
     assert T_MEL % args.r == 0
+    global K_TASKS, S_SHOTS
+    if args.k:
+        K_TASKS = args.k
+    if args.s:
+        S_SHOTS = args.s
+    assert S_SHOTS <= UTTS_PER_SPK - N_QUERY and S_SHOTS <= N_QUERY, (
+        f"S={S_SHOTS} exceeds the per-speaker pool"
+    )
+    assert K_TASKS <= N_TRAIN_SPK
 
     rows, ref_rows, results = run(
         args.outer_steps, with_reference=not args.no_reference,
@@ -495,6 +510,7 @@ def main():
     )
     print(json.dumps({"run": "meta_advantage", "r": args.r,
                       "outer_steps": args.outer_steps,
+                      "k_tasks": K_TASKS, "s_shots": S_SHOTS,
                       "seed": args.seed}))
     for r in rows + ref_rows:
         print(json.dumps(r))
