@@ -326,9 +326,17 @@ def main():
                     help="reduction factor n_frames_per_step (the r=2 "
                          "throughput lever needs quality evidence — "
                          "BENCHMARKS.md)")
+    ap.add_argument("--t_mel", type=int, default=None,
+                    help="override the mel length (default 24); r must "
+                         "divide it — r=5 needs e.g. 40, and a fair "
+                         "r=4-vs-r=5 comparison runs BOTH at the same "
+                         "t_mel (round-5 r-sweep quality column)")
     args = ap.parse_args()
+    global T_MEL
+    if args.t_mel:
+        T_MEL = args.t_mel
     MODEL_PARAMS["n_frames_per_step"] = args.r
-    assert T_MEL % args.r == 0
+    assert T_MEL % args.r == 0, f"r={args.r} must divide t_mel={T_MEL}"
 
     train, eval_data = make_data()
     schedule = batch_schedule(args.steps)
