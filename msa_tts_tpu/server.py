@@ -185,6 +185,11 @@ class DynamicBatcher:
     def submit(self, text: str, voice: str | None = None,
                vocoder: str = "griffinlim") -> Future:
         req = _Request(text=text, voice=voice, vocoder=vocoder)
+        if self._stop.is_set():
+            # the worker is gone — a queued request would never resolve
+            # and its client would wait out the full timeout
+            req.future.set_exception(RuntimeError("server shutting down"))
+            return req.future
         self._q.put(req)
         return req.future
 

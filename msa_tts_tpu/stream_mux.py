@@ -703,6 +703,12 @@ class StreamMultiplexer:
                     for s in self._slots:
                         if s.active and s.out is not None:
                             s.out.put(None)
+                    # pending (queued, never admitted) streams must get
+                    # a terminal too, or their clients block in drain()
+                    # forever when close() races an un-admitted stream
+                    for p in self._pending:
+                        p[4].put(None)
+                    self._pending.clear()
                     return
             try:
                 self._admit()

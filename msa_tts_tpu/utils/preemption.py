@@ -50,6 +50,14 @@ class PreemptionGuard:
 
     The previous handler for each signal is chained, so embedding
     applications keep their own SIGTERM behavior.
+
+    A SECOND signal after the stop flag is already set escalates: the
+    guard restores the previous disposition and re-delivers, so a
+    trainer wedged between poll boundaries (the stall case) remains
+    killable by a repeated graceful TERM instead of requiring KILL
+    (round-5 review finding — the swallow-forever behavior also made
+    whole test processes unkillable once any trainer had installed the
+    shared guard).
     """
 
     _shared: "PreemptionGuard | None" = None
@@ -94,6 +102,17 @@ class PreemptionGuard:
         self.installed = False
 
     def _handler(self, signum, frame):
+        if self._stop.is_set():
+            # Second notice: the cooperative stop was already requested
+            # and the process is still here — either the trainer is
+            # between poll boundaries or it is wedged (the stall case).
+            # Escalate like every graceful-shutdown convention does:
+            # restore the previous disposition and re-deliver, so a
+            # repeated SIGTERM actually terminates instead of being
+            # swallowed forever.
+            self.uninstall()
+            signal.raise_signal(signum)
+            return
         self._stop.set()
         prev = self._prev.get(signum)
         if callable(prev):

@@ -431,7 +431,12 @@ def fold_with_overlap(x: np.ndarray, target: int, overlap: int) -> np.ndarray:
     """(1, T, F) → (num_folds, target + 2·overlap, F) with shared overlap
     regions (reference wavernn.py:211-252)."""
     _, total_len, features = x.shape
-    num_folds = (total_len - overlap) // (target + overlap)
+    # floor-div goes NEGATIVE when total_len < overlap (a sub-overlap
+    # utterance, ~12 ms at the default 275) and the unpatched formula
+    # then yields ZERO folds — silently empty audio (round-5 review;
+    # the reference's own fold shares the formula and the bug).  Clamp:
+    # such inputs become one padded fold.
+    num_folds = max((total_len - overlap) // (target + overlap), 0)
     extended_len = num_folds * (overlap + target) + overlap
     remaining = total_len - extended_len
     if remaining != 0:

@@ -270,3 +270,31 @@ def test_trainer_watchdog_smoke(tmp_path):
     assert not os.path.exists(
         os.path.join(t.path_manager.logs_path, "stall_dump.txt")
     )
+
+
+def test_guard_second_signal_escalates():
+    """Round-5 review: a SECOND SIGTERM after the cooperative stop flag
+    is set must terminate the process (restore-and-redeliver), so a
+    wedged trainer stays killable by graceful TERM.  Run in a
+    subprocess — the escalation kills the process by design."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, signal\n"
+        "from msa_tts_tpu.utils.preemption import PreemptionGuard\n"
+        "g = PreemptionGuard().install()\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "assert g.should_stop\n"
+        "print('first survived', flush=True)\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "print('UNREACHABLE', flush=True)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env=env,
+    )
+    assert "first survived" in p.stdout
+    assert "UNREACHABLE" not in p.stdout
+    assert p.returncode != 0          # killed by the re-delivered TERM

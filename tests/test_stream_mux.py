@@ -588,3 +588,51 @@ def test_adapted_mux_without_base_multiplex_and_lazy_build():
     assert srv2.stream_mux is not None
     assert srv2.adapted_mux is None
     srv2.stop()
+
+
+def test_close_with_pending_stream_terminates_client():
+    """Round-5 review: close() must also terminate PENDING (queued,
+    never-admitted) streams — previously only active slots got the
+    terminal None and a pending client blocked in drain() forever."""
+    emb = np.zeros(6, np.float32)
+    tts = _tts()
+    mux = StreamMultiplexer(
+        tts, n_slots=1, t_cap=T_CAP, segment_steps=SEG, backend="xla",
+    )
+    done = {}
+
+    def consume(name, gen):
+        done[name] = [np.asarray(c) for c in gen]
+
+    # stream A occupies the single slot; B queues behind it
+    ga = mux.stream("hold", spk_emb=emb)
+    ta = threading.Thread(target=consume, args=("a", ga))
+    ta.start()
+    time.sleep(0.3)           # let A admit
+    gb = mux.stream("wait", spk_emb=emb)
+    tb = threading.Thread(target=consume, args=("b", gb))
+    tb.start()
+    time.sleep(0.1)
+    mux.close()
+    ta.join(timeout=30)
+    tb.join(timeout=30)
+    assert not ta.is_alive() and not tb.is_alive(), (
+        "a client hung after close()"
+    )
+    assert "b" in done        # terminated (possibly zero chunks)
+
+
+def test_batcher_submit_after_stop_fails_fast():
+    """Round-5 review: submit() on a stopped DynamicBatcher must fail
+    the future immediately instead of queueing it for a dead worker
+    (the client would otherwise wait out its full timeout)."""
+    from msa_tts_tpu.server import DynamicBatcher
+
+    def synth_fn(texts, voice_name, vocoder, pad_batch_to):
+        raise AssertionError("worker must not run in this test")
+
+    b = DynamicBatcher(synth_fn).start()
+    b.stop()
+    fut = b.submit("too late")
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)

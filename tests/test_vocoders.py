@@ -452,3 +452,15 @@ def test_gen_backend_auto_resolution_reaches_run(monkeypatch):
     cv = inspect.getclosurevars(voc._run.__wrapped__)
     inner = inspect.getclosurevars(cv.nonlocals["run_with_noise"])
     assert inner.nonlocals["backend"] == "pallas"
+
+
+def test_fold_sub_overlap_input_not_empty():
+    """Round-5 review: a conditioning sequence SHORTER than the overlap
+    used to produce zero folds (negative floor-div) — silently empty
+    audio.  It must fold to one padded row instead."""
+    from msa_tts_tpu.vocoders.wavernn import fold_with_overlap
+
+    x = np.random.RandomState(0).randn(1, 200, 3).astype(np.float32)
+    folded = fold_with_overlap(x, target=1375, overlap=275)
+    assert folded.shape[0] == 1
+    np.testing.assert_array_equal(folded[0, :200], x[0])
