@@ -478,7 +478,10 @@ def test_bundled_profiles_resolve_by_name():
     from msa_tts_tpu.utils.g2p.grapheme2phoneme import SegmentsBackend
 
     langs = SegmentsBackend.supported_languages()
-    assert {"japanese", "spanish", "finnish"} <= set(langs)
+    # the full reference segments-language surface (round 5) plus the
+    # two extra languages this framework added in round 4
+    assert {"japanese", "spanish", "finnish", "cree", "chintang",
+            "inuktitut", "sesotho", "yucatec"} <= set(langs)
     be = SegmentsBackend("japanese")
     assert be.phonemize_chunk("konnichiwa") == "konnitɕiɰa"
     with pytest.raises(ValueError, match="neither a file nor"):
@@ -491,6 +494,16 @@ def test_bundled_profiles_resolve_by_name():
         ("japanese", "sushi tokyo", "sɯɕi tokjo"),
         ("spanish", "chile qui jalapeño", "tʃile ki xalapeɲo"),
         ("finnish", "hyvää päivää", "hyʋæː pæiʋæː"),
+        # SRO: circumflex long vowels, <c>=/ts/, <ê> inherently long
+        ("cree", "nêhiyawêwin tânisi", "neːhijaweːwin taːnisi"),
+        # ICI Latin: <q> uvular stop, <r>=/ʁ/, <ng>=/ŋ/, <&>=/ɬ/
+        ("inuktitut", "inuktitut qanuq", "inuktitut qanuq"),
+        # <q> is the click /ǃ/, <hl>=/ɬ/, aspirates as C+h
+        ("sesotho", "sesotho le qoqa hle", "sɛsɔthɔ lɛ ǃɔǃa ɬɛ"),
+        # glottalized series as C+ʔ, <x>=/ʃ/, <b>=/ɓ/
+        ("yucatec", "k'aax ts'ono'ot baalam", "kʔaːʃ tsʔonoʔot ɓaːlam"),
+        # <c>=/ts/, aspirates as C+h, <ng>=/ŋ/
+        ("chintang", "chintang khana", "tshintaŋ khana"),
     ],
 )
 def test_bundled_profiles_phonemize(lang, text, expected):
