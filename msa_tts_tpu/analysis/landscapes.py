@@ -256,3 +256,118 @@ class ProjectingTrajectoryTracker(TrajectoryTracker):
 
     def get_trajectory(self) -> list:
         return self.trajectory
+
+
+# ---------------------------------------------------------------------------
+# Metric library (reference metrics/{metric,sl_metrics,rl_metrics}.py)
+# ---------------------------------------------------------------------------
+# The reference's vendored library ships a small Metric hierarchy whose
+# live surface is Loss / LossGradient / LossPerturbations
+# (sl_metrics.py:18-75) plus ExpectedReturnMetric (rl_metrics.py:6-31);
+# everything else in sl_metrics.py is commented out upstream.  Here a
+# metric is simply a callable over a parameter PYTREE (the framework's
+# landscape currency) rather than a torch ModelWrapper, and the
+# supervised metrics close over a jittable ``loss_fn(params) -> scalar``
+# the same way random_plane/linear_interpolation do — inputs/targets are
+# baked into the closure, which is the jit-friendly equivalent of the
+# reference's (loss_fn, inputs, target) triple.
+
+
+class Metric:
+    """A quantity evaluated at a point in parameter space
+    (reference metric.py:8-26)."""
+
+    def __call__(self, params):
+        raise NotImplementedError
+
+
+class Loss(Metric):
+    """The loss value at ``params`` (reference sl_metrics.py:18-27)."""
+
+    def __init__(self, loss_fn: Callable):
+        self._loss = jax.jit(loss_fn)
+
+    def __call__(self, params) -> float:
+        return float(self._loss(params))
+
+
+class LossGradient(Metric):
+    """The flattened loss gradient at ``params`` (reference
+    sl_metrics.py:30-43) — one reverse-mode pass, returned as a single
+    numpy vector like the reference's concatenated ``named_parameters``
+    gradient."""
+
+    def __init__(self, loss_fn: Callable):
+        self._grad = jax.jit(jax.grad(loss_fn))
+
+    def __call__(self, params) -> np.ndarray:
+        g = self._grad(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        return np.concatenate([np.asarray(l).ravel() for l in leaves])
+
+
+class LossPerturbations(Metric):
+    """Loss deltas along ``n_directions`` random directions scaled by
+    ``alpha`` (reference sl_metrics.py:46-75 — probabilistic curvature
+    probing after Schuurmans et al.).  All directions are evaluated in
+    ONE jitted vmap over a stacked direction tree instead of the
+    reference's sequential add/eval/subtract loop — the perturbed
+    evaluations are independent, so they batch onto the MXU."""
+
+    def __init__(self, loss_fn: Callable, n_directions: int = 8,
+                 alpha: float = 1.0, rng=None):
+        self.n_directions = int(n_directions)
+        self.alpha = float(alpha)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        def perturbed(params, dirs):
+            def one(d):
+                p = jax.tree_util.tree_map(
+                    lambda p0, x: p0 + self.alpha * x, params, d
+                )
+                return loss_fn(p)
+
+            return jax.vmap(one)(dirs), loss_fn(params)
+
+        self._perturbed = jax.jit(perturbed)
+
+    def __call__(self, params) -> np.ndarray:
+        keys = jax.random.split(self._rng, self.n_directions)
+        dirs = jax.tree_util.tree_map(
+            lambda l: jnp.stack([
+                jax.random.normal(k, l.shape, l.dtype) for k in keys
+            ]),
+            params,
+        )
+        losses, base = self._perturbed(params, dirs)
+        return np.asarray(losses) - float(base)
+
+
+class ExpectedReturn(Metric):
+    """Average episodic return of ``policy_fn(params, obs) -> action``
+    over ``n_episodes`` rollouts (reference rl_metrics.py:6-31).  The
+    environment is duck-typed on the gym step API — ``reset() -> obs``
+    and ``step(action) -> (obs, reward, done, info)`` — so no gym
+    dependency is required; rollouts are host-driven because episode
+    length is data-dependent (the environment is external Python, not a
+    traceable program)."""
+
+    def __init__(self, environment, policy_fn: Callable,
+                 n_episodes: int = 1):
+        self.environment = environment
+        self.policy_fn = policy_fn
+        self.n_episodes = int(n_episodes)
+
+    def __call__(self, params) -> float:
+        returns = []
+        for _ in range(self.n_episodes):
+            obs = self.environment.reset()
+            total, done = 0.0, False
+            while not done:
+                action = self.policy_fn(params, jnp.asarray(obs))
+                obs, reward, done, _ = self.environment.step(
+                    np.asarray(action)
+                )
+                total += float(reward)
+            returns.append(total)
+        return sum(returns) / len(returns)

@@ -151,6 +151,56 @@ def test_trajectory_trackers(tmp_path):
     assert d[0] == 0.0 and np.all(np.diff(d) > 0)
 
 
+def test_landscape_metrics():
+    """Metric library (reference metrics/{sl,rl}_metrics.py parity):
+    Loss/LossGradient exact on a quadratic, LossPerturbations has the
+    right shape and a zero-at-alpha-zero sanity, ExpectedReturn sums
+    episodic reward on a duck-typed gym-style environment."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tts_tpu.analysis.landscapes import (
+        ExpectedReturn,
+        Loss,
+        LossGradient,
+        LossPerturbations,
+    )
+
+    params = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([[3.0]])}
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+    assert Loss(loss)(params) == pytest.approx(14.0)
+
+    g = LossGradient(loss)(params)
+    # flat vector over leaves ("b" before "w" in pytree order), = 2·x
+    np.testing.assert_allclose(g, [6.0, 2.0, 4.0])
+
+    deltas = LossPerturbations(loss, n_directions=5, alpha=0.3,
+                               rng=jax.random.PRNGKey(1))(params)
+    assert deltas.shape == (5,) and np.isfinite(deltas).all()
+    zero = LossPerturbations(loss, n_directions=3, alpha=0.0)(params)
+    np.testing.assert_allclose(zero, 0.0, atol=1e-6)
+
+    class Env:
+        def __init__(self, horizon):
+            self.h, self.t = horizon, 0
+
+        def reset(self):
+            self.t = 0
+            return np.zeros(2, np.float32)
+
+        def step(self, action):
+            self.t += 1
+            return (np.zeros(2, np.float32), float(self.t),
+                    self.t >= self.h, {})
+
+    # return of a 3-step episode is 1+2+3; averaged over 2 episodes
+    er = ExpectedReturn(Env(3), lambda p, o: o, n_episodes=2)
+    assert er(params) == pytest.approx(6.0)
+
+
 def test_config_optim_vocabularies():
     from msa_tts_tpu.config import parse_optim_params
     from msa_tts_tpu.optim import make_optimizer
