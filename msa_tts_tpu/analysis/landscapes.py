@@ -332,12 +332,14 @@ class LossPerturbations(Metric):
         self._perturbed = jax.jit(perturbed)
 
     def __call__(self, params) -> np.ndarray:
+        # One stacked random direction tree per call: each direction is
+        # an independent tree_rand_like draw (a fresh key per LEAF per
+        # direction — reusing one key per direction would hand identical
+        # perturbations to same-shaped leaves).
         keys = jax.random.split(self._rng, self.n_directions)
+        per_dir = [tree_rand_like(k, params) for k in keys]
         dirs = jax.tree_util.tree_map(
-            lambda l: jnp.stack([
-                jax.random.normal(k, l.shape, l.dtype) for k in keys
-            ]),
-            params,
+            lambda *ls: jnp.stack(ls), *per_dir
         )
         losses, base = self._perturbed(params, dirs)
         return np.asarray(losses) - float(base)

@@ -183,6 +183,15 @@ def test_landscape_metrics():
     zero = LossPerturbations(loss, n_directions=3, alpha=0.0)(params)
     np.testing.assert_allclose(zero, 0.0, atol=1e-6)
 
+    # same-shaped leaves must get INDEPENDENT directions: for the
+    # antisymmetric loss sum(a) - sum(b), identical per-leaf draws
+    # would cancel to an exact 0.0 delta on every direction
+    anti = LossPerturbations(
+        lambda p: jnp.sum(p["x"]) - jnp.sum(p["y"]),
+        n_directions=6, alpha=1.0,
+    )({"x": jnp.zeros(4), "y": jnp.zeros(4)})
+    assert np.abs(anti).min() > 1e-4
+
     class Env:
         def __init__(self, horizon):
             self.h, self.t = horizon, 0
